@@ -1,0 +1,30 @@
+"""sdface_gan_tpu — a TPU-native (JAX/XLA/Pallas/pjit) 3D-aware face GAN framework.
+
+A ground-up rebuild of the capabilities of SDFace-GAN (StyleSDF lineage +
+Instant-NGP hash grid + StyleGAN2 decoder + GIRAFFE compositional NeRF +
+2D GAN baseline), designed TPU-first:
+
+* all hot compute paths (hash-grid encoding, FiLM-SIREN MLPs, SDF volume
+  rendering, StyleGAN2 conv pyramids) are expressed as large batched
+  matmul/conv programs that XLA tiles onto the MXU,
+* gradients that the reference computes with CUDA ``atomicAdd`` scatter
+  (hash-grid backward) are deterministic XLA scatter-adds / segment sums,
+* double-backprop losses (R1, eikonal, path-length) compose with
+  ``jax.grad`` instead of autograd graph surgery,
+* data parallel scale-out is a ``jax.sharding.Mesh`` + ``shard_map``
+  with ``psum`` gradient reduction (the reference's DDP path was a stub).
+
+Package layout:
+  config/      typed config tree, YAML ``inherit_from`` loader, CLI options
+  ops/         named TPU ops (fused_leaky_relu, upfirdn2d, SH + hash encoders)
+  geometry/    camera sampling, ray generation, mesh utilities
+  models/      SDF generator family, StyleGAN2 decoder, discriminators,
+               GIRAFFE and gan2d families
+  losses/      GAN + geometry losses (R1, eikonal, path-reg, TV smoothness)
+  training/    staged train loops (sphere-init -> vol-render -> full pipeline)
+  parallel/    mesh construction and sharding rules
+  data/        LMDB multi-resolution dataset + preparation pipeline
+  evaluation/  InceptionV3 FID/KID in JAX
+"""
+
+__version__ = "0.1.0"

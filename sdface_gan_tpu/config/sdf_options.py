@@ -1,0 +1,171 @@
+"""SDF pipeline options: typed defaults + per-stage derivations.
+
+Equivalent surface to the reference ``SDFOptions`` configargparse tree
+(``im2scene/sdf/models/sdf_utils.py:447-594``) — same group names
+(dataset / experiment / training / inference / model / camera / rendering)
+and same knob names & defaults — but built as explicit immutable-ish
+ConfigNode copies instead of mid-run mutation
+(``im2scene/training_utils.py:144-193``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+from .node import ConfigNode
+
+
+def sdf_defaults() -> ConfigNode:
+    """Default option tree (values match reference ``SDFOptions``)."""
+    return ConfigNode(
+        dataset=dict(dataset_path="./data/ffhq"),
+        experiment=dict(
+            config=None,
+            expname="ffhq1024x1024",
+            ckpt="300000",
+            continue_training=False,
+        ),
+        training=dict(
+            checkpoints_dir="./out",
+            iter=300000,
+            batch=4,
+            chunk=1,
+            val_n_sample=8,
+            d_reg_every=16,
+            g_reg_every=4,
+            local_rank=0,
+            mixing=0.9,
+            lr=0.002,
+            r1=10.0,
+            view_lambda=15.0,
+            eikonal_lambda=0.1,
+            min_surf_lambda=0.05,
+            min_surf_beta=100.0,
+            smooth_lambda=1000.0,  # hardcoded 1000x in reference training_utils.py:437
+            path_regularize=2.0,
+            path_batch_shrink=2,
+            wandb=False,
+            no_sphere_init=False,
+            seed=0,
+        ),
+        inference=dict(
+            results_dir="./evaluations",
+            truncation_ratio=0.5,
+            truncation_mean=10000,
+            identities=16,
+            num_views_per_id=1,
+            no_surface_renderings=False,
+            fixed_camera_angles=False,
+            azim_video=False,
+        ),
+        model=dict(
+            size=256,
+            style_dim=256,
+            channel_multiplier=2,
+            n_mlp=8,
+            lr_mapping=0.01,
+            renderer_spatial_output_dim=64,
+            project_noise=False,
+            freeze_renderer=False,
+            no_viewpoint_loss=False,
+            psp=False,
+        ),
+        camera=dict(
+            uniform=False,
+            azim=0.3,
+            elev=0.15,
+            fov=6.0,
+            dist_radius=0.12,
+        ),
+        rendering=dict(
+            depth=8,
+            width=256,
+            no_sdf=False,
+            no_z_normalize=False,
+            static_viewdirs=False,
+            N_samples=24,
+            no_offset_sampling=False,
+            perturb=1.0,
+            raw_noise_std=0.0,
+            force_background=False,
+            return_xyz=False,
+            return_sdf=False,
+            type="sdf",  # 'sdf' | 'ngp'; set by --ngp (training_utils.py:189)
+            fc=False,
+            no_features_output=False,
+        ),
+    )
+
+
+def parse_sdf_options(argv: Optional[Sequence[str]] = None) -> ConfigNode:
+    """Parse CLI overrides onto the default tree (configargparse-compatible flags)."""
+    defaults = sdf_defaults()
+    p = argparse.ArgumentParser(add_help=False)
+    for group, node in defaults.items():
+        for key, val in node.items():
+            flag = f"--{key}"
+            if any(a.option_strings == [flag] for a in p._actions):
+                continue
+            if isinstance(val, bool):
+                p.add_argument(flag, action="store_true", default=val)
+            elif val is None:
+                p.add_argument(flag, type=str, default=None)
+            else:
+                p.add_argument(flag, type=type(val), default=val)
+    args, _ = p.parse_known_args(list(argv) if argv is not None else [])
+    out = defaults.copy()
+    for group, node in out.items():
+        for key in node:
+            if hasattr(args, key):
+                node[key] = getattr(args, key)
+    return out
+
+
+def get_vol_render_opt(
+    expname: str,
+    need_train_vol_render: bool,
+    *,
+    ngp: bool = False,
+    fc: bool = False,
+    psp: bool = False,
+    wod: bool = False,
+    size: int = 256,
+    batch: int = 8,
+    chunk: int = 2,
+    extra_argv: Optional[Sequence[str]] = None,
+) -> ConfigNode:
+    """Build the per-stage option tree.
+
+    Mirrors reference ``get_vol_render_opt`` (``training_utils.py:144-193``):
+    stage A (``need_train_vol_render=True``) trains the volume renderer
+    against the CoordConv discriminator at 64² with no feature output;
+    stage B freezes the renderer and trains the StyleGAN decoder at ``size``.
+    """
+    opt = parse_sdf_options(
+        ["--expname", expname, "--size", str(size), "--batch", str(batch),
+         "--chunk", str(chunk)] + list(extra_argv or [])
+    )
+    opt.training.camera = opt.camera.copy()
+    opt.training.renderer_output_size = opt.model.renderer_spatial_output_dim
+    opt.training.style_dim = opt.model.style_dim
+    opt.model.no_viewpoint_loss = opt.training.view_lambda == 0.0
+
+    if need_train_vol_render:
+        opt.model.freeze_renderer = False
+        opt.training.with_sdf = not opt.rendering.no_sdf
+        if opt.training.with_sdf and opt.training.min_surf_lambda > 0:
+            opt.rendering.return_sdf = True
+        opt.training.iter = 200001
+        opt.rendering.no_features_output = True
+    else:
+        opt.training.size = opt.model.size
+        opt.model.freeze_renderer = True
+        opt.training.with_sdf = not opt.rendering.no_sdf
+
+    opt.training.start_iter = 0
+    opt.training.wod = wod
+    opt.rendering.type = "ngp" if ngp else "sdf"
+    opt.rendering.fc = fc
+    opt.model.psp = psp
+    return opt

@@ -1,0 +1,24 @@
+from .fused_act import fused_leaky_relu
+from .upfirdn2d import upfirdn2d, upsample2d, downsample2d, blur, make_kernel
+from .sh_encoder import sh_encode, sh_output_dim
+from .hash_encoder import (
+    HashGridSpec,
+    hash_encode,
+    init_hash_table,
+    hash_table_total_variation,
+)
+
+__all__ = [
+    "fused_leaky_relu",
+    "upfirdn2d",
+    "upsample2d",
+    "downsample2d",
+    "blur",
+    "make_kernel",
+    "sh_encode",
+    "sh_output_dim",
+    "HashGridSpec",
+    "hash_encode",
+    "init_hash_table",
+    "hash_table_total_variation",
+]

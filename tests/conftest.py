@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference repo ships zero tests (SURVEY.md §4); this suite is the
+framework's quality gate.  Multi-device behavior is exercised on CPU via
+``xla_force_host_platform_device_count`` — the standard substitute for a
+real TPU pod in unit tests.
+"""
+
+import os
+
+# Must be set before jax initializes.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,74 @@
+import os
+
+import pytest
+
+from sdface_gan_tpu.config import (
+    ConfigNode,
+    load_config,
+    get_vol_render_opt,
+    parse_sdf_options,
+)
+
+
+def test_confignode_attr_access():
+    c = ConfigNode(a=1, b={"c": 2})
+    assert c.a == 1
+    assert c.b.c == 2
+    c.b.d = 3
+    assert c["b"]["d"] == 3
+
+
+def test_confignode_recursive_merge():
+    base = ConfigNode(x={"a": 1, "b": 2}, y=5)
+    out = base.merged_with({"x": {"b": 3}, "z": 7})
+    assert out.x.a == 1 and out.x.b == 3 and out.y == 5 and out.z == 7
+    # original untouched
+    assert base.x.b == 2 and "z" not in base
+
+
+def test_yaml_inherit_from(tmp_path):
+    default = tmp_path / "default.yaml"
+    default.write_text("method: giraffe\ntraining:\n  batch_size: 32\n  lr: 0.001\n")
+    parent = tmp_path / "parent.yaml"
+    parent.write_text("training:\n  batch_size: 8\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"inherit_from: {parent}\ntraining:\n  lr: 0.01\n")
+
+    cfg = load_config(str(child), str(default))
+    assert cfg.method == "giraffe"
+    assert cfg.training.batch_size == 8
+    assert cfg.training.lr == 0.01
+
+
+def test_sdf_defaults_match_reference():
+    opt = parse_sdf_options([])
+    # Defaults from reference SDFOptions (sdf_utils.py:447-594)
+    assert opt.training.batch == 4
+    assert opt.training.r1 == 10.0
+    assert opt.training.view_lambda == 15.0
+    assert opt.training.eikonal_lambda == 0.1
+    assert opt.training.min_surf_lambda == 0.05
+    assert opt.training.d_reg_every == 16
+    assert opt.training.g_reg_every == 4
+    assert opt.training.mixing == 0.9
+    assert opt.model.style_dim == 256
+    assert opt.model.renderer_spatial_output_dim == 64
+    assert opt.camera.fov == 6.0
+    assert opt.camera.dist_radius == 0.12
+    assert opt.rendering.N_samples == 24
+
+
+def test_stage_option_derivation():
+    a = get_vol_render_opt("exp", True, ngp=True)
+    assert a.model.freeze_renderer is False
+    assert a.rendering.no_features_output is True
+    assert a.rendering.return_sdf is True  # min_surf_lambda > 0
+    assert a.training.iter == 200001
+    assert a.rendering.type == "ngp"
+
+    b = get_vol_render_opt("exp", False, ngp=False)
+    assert b.model.freeze_renderer is True
+    assert b.rendering.type == "sdf"
+    assert b.training.size == 256
+    # stage A's mutations must not leak into stage B
+    assert b.rendering.no_features_output is False
