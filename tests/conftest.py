@@ -8,8 +8,12 @@ real TPU pod in unit tests.
 
 import os
 
-# Must be set before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes.  Force-override: the surrounding
+# environment may point JAX at a (single) real TPU via a tunnel
+# (JAX_PLATFORMS=axon, set again by a sitecustomize hook that calls
+# jax.config.update at interpreter start); unit tests always run on the
+# virtual CPU mesh, so override both the env var AND the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -111,8 +111,12 @@ def test_sh_encode_degree4_against_scipy():
     phi = np.arctan2(y, x)
 
     def real_sh(l, m):
-        # scipy sph_harm_y-style real SH built from complex Y_l^m
-        sh = scipy.sph_harm(abs(m), l, phi, theta)
+        # Real SH built from complex Y_l^m; scipy >= 1.15 renamed
+        # sph_harm(m, l, phi, theta) -> sph_harm_y(l, m, theta, phi).
+        if hasattr(scipy, "sph_harm_y"):
+            sh = scipy.sph_harm_y(l, abs(m), theta, phi)
+        else:
+            sh = scipy.sph_harm(abs(m), l, phi, theta)
         if m > 0:
             return np.sqrt(2) * (-1) ** m * sh.real
         if m < 0:
