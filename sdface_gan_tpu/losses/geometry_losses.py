@@ -12,7 +12,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.hash_encoder import HashGridSpec, hash_table_total_variation
+from ..ops.hash_encoder import HashGridSpec, hash_encode, hash_table_total_variation
 
 
 def eikonal_loss(
@@ -43,26 +43,42 @@ def hash_smoothness_loss(
     table: jnp.ndarray,
     spec: HashGridSpec,
     key: jax.Array,
-    bbox_min: jnp.ndarray,
-    bbox_max: jnp.ndarray,
-    sample_size: int = 32,
-    bound: float = 1.0,
+    bbox: jnp.ndarray,
+    sample_points: int = 32,
+    voxel_size: float = 0.1,
+    margin: float = 0.05,
+    bound: float = 2.0,
 ) -> jnp.ndarray:
-    """TV smoothness of the hash embedding on a random grid in the bbox
-    (reference ``smoothLoss.py:5-40`` + weight applied by the caller,
-    ``training_utils.py:433-437``).
+    """Total-variation smoothness of the hash EMBEDDING on a randomly
+    placed axis-aligned grid (reference ``smoothLoss.py:5-29``; applied
+    with weight 1000 at ``training_utils.py:433-437``).
 
-    Samples a random ``sample_size**3`` axis-aligned grid inside
-    [bbox_min, bbox_max] and penalizes squared differences between
-    neighboring hash-table cells along each axis.
+    Semantics match the reference: a ``(sample_points-1)^3`` integer grid
+    is jittered by one random sub-voxel offset, scaled by ``voxel_size``,
+    randomly offset inside ``bbox`` (``[3, 2]`` min/max per axis, the
+    hardcoded stage-A bounding box), normalized to [0, 1] per axis, then
+    fed through the NGP encoder (which maps via ``(x + bound)/(2 bound)``);
+    the loss is the summed squared difference between grid-neighbor
+    embeddings along each axis, divided by ``sample_points**3``.
     """
-    k0, k1 = jax.random.split(key)
-    extent = bbox_max - bbox_min
-    # Random grid origin + uniform spacing, mirroring the reference's
-    # random-coordinate meshgrid construction.
-    offset = jax.random.uniform(k0, (3,)) * extent / sample_size
-    lin = jnp.linspace(0.0, 1.0, sample_size, endpoint=False)
-    axes = [bbox_min[d] + offset[d] + lin * extent[d] for d in range(3)]
-    gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
-    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    return hash_table_total_variation(table, spec, pts, bound=bound)
+    k_off, k_jit = jax.random.split(key)
+    n = sample_points - 1
+    lo, hi = bbox[:, 0], bbox[:, 1]
+    grid_size = n * voxel_size
+    offset_max = hi - lo - grid_size - 2.0 * margin
+    offset = jax.random.uniform(k_off, (3,)) * offset_max + margin
+
+    idx = jnp.arange(n, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    coords = jnp.stack([gx, gy, gz], axis=-1)  # [n,n,n,3]
+    jitter = jax.random.uniform(k_jit, (1, 1, 1, 3))
+    pts = (coords + jitter) * voxel_size + lo + offset
+    pts01 = (pts - lo) / (hi - lo)
+
+    emb = hash_encode(pts01, table, spec, bound=bound)  # [n,n,n,C]
+    tv = (
+        jnp.sum((emb[1:] - emb[:-1]) ** 2)
+        + jnp.sum((emb[:, 1:] - emb[:, :-1]) ** 2)
+        + jnp.sum((emb[:, :, 1:] - emb[:, :, :-1]) ** 2)
+    )
+    return tv / float(sample_points**3)

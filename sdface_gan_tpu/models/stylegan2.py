@@ -418,7 +418,9 @@ def make_decoder_latent(
     """Build the [B, n_latent, style_dim] per-layer latent with optional
     truncation and style mixing (reference ``sdf_model.py:981-1022``).
 
-    ``inject_index`` must be a static Python int (drawn by the caller).
+    ``inject_index`` may be a Python int OR a traced jnp scalar (the train
+    step draws it inside jit); layers ``< inject_index`` take style 0,
+    the rest style 1.
     """
     if not input_is_latent:
         styles = [decoder_map_style(p, cfg, s) for s in styles]
@@ -431,12 +433,9 @@ def make_decoder_latent(
         )
     else:
         idx = inject_index if inject_index is not None else n - 1
-        latent = jnp.concatenate(
-            [
-                jnp.repeat(styles[0][:, None, :], idx, axis=1),
-                jnp.repeat(styles[1][:, None, :], n - idx, axis=1),
-            ],
-            axis=1,
+        layer = jnp.arange(n)[None, :, None]
+        latent = jnp.where(
+            layer < idx, styles[0][:, None, :], styles[1][:, None, :]
         )
     return latent
 

@@ -1,0 +1,17 @@
+from .mesh import (
+    batch_sharding,
+    data_parallel_jit,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "replicate",
+    "shard_batch",
+    "data_parallel_jit",
+]

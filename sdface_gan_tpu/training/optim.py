@@ -1,0 +1,72 @@
+"""Stage-specific optimizers (reference ``im2scene/config.py:178-233``).
+
+* Stage A (volume renderer): Adam, G lr 2e-5 / D lr 2e-4, betas (0, 0.9).
+* Stage B (full pipeline): StyleGAN2 lazy-regularization ratio-adjusted
+  Adam — lr and betas scaled by ``reg_every / (reg_every + 1)`` — with the
+  G optimizer updating ONLY ``decoder.*`` params (``config.py:206-215``).
+* Encoder stage: Adam 5e-4 (VAE) or Ranger (RAdam + Lookahead) 1e-4.
+
+Implemented as optax chains; the decoder-only restriction is an
+``optax.multi_transform`` mask (the functional analog of the reference's
+param-group filtering).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import optax
+
+
+def stage_a_optimizers() -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    """(G, D) optimizers for the volume-renderer stage
+    (reference ``config.py:196-200``)."""
+    g = optax.adam(2e-5, b1=0.0, b2=0.9)
+    d = optax.adam(2e-4, b1=0.0, b2=0.9)
+    return g, d
+
+
+def _reg_ratio(reg_every: int) -> float:
+    return reg_every / (reg_every + 1) if reg_every > 0 else 1.0
+
+
+def stage_b_optimizers(
+    lr: float = 2e-3, g_reg_every: int = 4, d_reg_every: int = 16
+) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    """(G, D) optimizers for the StyleGAN stage with lazy-reg lr/beta
+    adjustment (reference ``config.py:202-218``).
+
+    The G transformation must be wrapped with :func:`decoder_only` so only
+    ``decoder.*`` parameters train.
+    """
+    g_ratio = _reg_ratio(g_reg_every)
+    d_ratio = _reg_ratio(d_reg_every)
+    g = optax.adam(lr * g_ratio, b1=0.0**g_ratio, b2=0.99**g_ratio)
+    d = optax.adam(lr * d_ratio, b1=0.0**d_ratio, b2=0.99**d_ratio)
+    return g, d
+
+
+def decoder_only(tx: optax.GradientTransformation, params: Any) -> optax.GradientTransformation:
+    """Restrict an optimizer to the ``decoder`` subtree of generator params
+    (reference trains only ``decoder.*`` in stage B, ``config.py:206-215``)."""
+
+    def label(tree: Any) -> Any:
+        return {
+            k: jax.tree_util.tree_map(lambda _: "train" if k == "decoder" else "freeze", v)
+            for k, v in tree.items()
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label(params)
+    )
+
+
+def encoder_optimizer(vae: bool = True) -> optax.GradientTransformation:
+    """Encoder-stage optimizer (reference ``config.py:186-191``): Adam 5e-4
+    for the VAE path; a Ranger-equivalent (RAdam + Lookahead, matching
+    ``encoder/ranger.py``) otherwise."""
+    if vae:
+        return optax.adam(5e-4)
+    # Ranger = RAdam + Lookahead (k=6, alpha=0.5), reference defaults.
+    return optax.lookahead(optax.radam(1e-4), sync_period=6, slow_step_size=0.5)

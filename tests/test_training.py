@@ -1,0 +1,184 @@
+"""End-to-end train-step tests: sphere init, stage A (D+G with R1/eikonal/
+min-surface), stage B (lazy R1, content, path-reg), EMA, and the
+data-parallel mesh path on 8 virtual CPU devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sdface_gan_tpu.models.discriminator import (
+    StyleDiscConfig,
+    VolumeRenderDiscConfig,
+    init_style_discriminator,
+    init_volume_render_discriminator,
+)
+from sdface_gan_tpu.models.generator import GeneratorConfig, init_generator
+from sdface_gan_tpu.models.renderer import RendererConfig
+from sdface_gan_tpu.parallel import data_parallel_jit, make_mesh, replicate, shard_batch
+from sdface_gan_tpu.training import (
+    TrainHParams,
+    accumulate,
+    decoder_only,
+    make_sphere_init_step,
+    make_stage_a_d_step,
+    make_stage_a_g_step,
+    make_stage_b_d_step,
+    make_stage_b_g_step,
+    make_stage_b_path_step,
+    stage_a_optimizers,
+    stage_b_optimizers,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+A_GCFG = GeneratorConfig(
+    size=16, style_dim=16, full_pipeline=False,
+    renderer=RendererConfig(type="sdf", out_im_res=8, n_samples=4,
+                            style_dim=16, width=16, depth=2),
+)
+A_DCFG = VolumeRenderDiscConfig(in_res=8)
+A_HP = TrainHParams(batch=4, style_dim=16)
+
+B_GCFG = GeneratorConfig(
+    size=32, style_dim=16, full_pipeline=True, freeze_renderer=True,
+    channel_multiplier=1,
+    renderer=RendererConfig(type="sdf", out_im_res=16, n_samples=4,
+                            style_dim=16, width=16, depth=2),
+)
+B_DCFG = StyleDiscConfig(size=32, channel_multiplier=1)
+B_HP = TrainHParams(batch=4, style_dim=16)
+
+
+def _finite(tree):
+    return all(
+        bool(jnp.all(jnp.isfinite(x))) for x in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def test_sphere_init_step_reduces_loss():
+    g = init_generator(KEY, A_GCFG)
+    g_tx = optax.adam(1e-2)
+    step = jax.jit(make_sphere_init_step(A_GCFG, A_HP, g_tx))
+    state = g_tx.init(g)
+    losses = []
+    for i in range(8):
+        g, state, m = step(g, state, jax.random.PRNGKey(i))
+        losses.append(float(m["sdf_init_loss"]))
+    assert losses[-1] < losses[0]
+    assert _finite(g)
+
+
+def test_stage_a_steps():
+    kg, kd = jax.random.split(KEY)
+    g = init_generator(kg, A_GCFG)
+    d = init_volume_render_discriminator(kd, A_DCFG)
+    g_tx, d_tx = stage_a_optimizers()
+    d_step = jax.jit(make_stage_a_d_step(A_GCFG, A_DCFG, A_HP, d_tx))
+    g_step = jax.jit(make_stage_a_g_step(A_GCFG, A_DCFG, A_HP, g_tx))
+    d_state = d_tx.init(d)
+    g_state = g_tx.init(g)
+    ema = jax.tree_util.tree_map(jnp.copy, g)
+
+    real = jax.random.uniform(KEY, (A_HP.batch, 8, 8, 3)) * 2 - 1
+    d, d_state, dm = d_step(g, d, d_state, jax.random.PRNGKey(1), real)
+    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(2))
+
+    for name in ("d", "r1", "d_view", "real_score", "fake_score"):
+        assert name in dm and np.isfinite(float(dm[name]))
+    for name in ("g", "g_view", "g_eikonal", "g_minimal_surface"):
+        assert name in gm and np.isfinite(float(gm[name]))
+    assert _finite(g) and _finite(d) and _finite(ema)
+
+
+def test_stage_a_ngp_smoothness_metric():
+    gcfg = GeneratorConfig(
+        size=16, style_dim=16, full_pipeline=False,
+        renderer=RendererConfig(type="ngp", out_im_res=4, n_samples=3,
+                                style_dim=16, width=16),
+    )
+    hp = TrainHParams(batch=2, style_dim=16)
+    g = init_generator(KEY, gcfg)
+    d = init_volume_render_discriminator(KEY, VolumeRenderDiscConfig(in_res=4))
+    g_tx, _ = stage_a_optimizers()
+    g_step = jax.jit(
+        make_stage_a_g_step(gcfg, VolumeRenderDiscConfig(in_res=4), hp, g_tx)
+    )
+    g_state = g_tx.init(g)
+    ema = jax.tree_util.tree_map(jnp.copy, g)
+    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(3))
+    assert "g_smooth" in gm and np.isfinite(float(gm["g_smooth"]))
+
+
+def test_stage_b_steps_and_decoder_only_freeze():
+    kg, kd = jax.random.split(KEY)
+    g = init_generator(kg, B_GCFG)
+    d = init_style_discriminator(kd, B_DCFG)
+    g_tx_raw, d_tx = stage_b_optimizers()
+    g_tx = decoder_only(g_tx_raw, g)
+    d_state = d_tx.init(d)
+    g_state = g_tx.init(g)
+    ema = jax.tree_util.tree_map(jnp.copy, g)
+
+    d_step_reg = jax.jit(make_stage_b_d_step(B_GCFG, B_DCFG, B_HP, d_tx, True))
+    d_step = jax.jit(make_stage_b_d_step(B_GCFG, B_DCFG, B_HP, d_tx, False))
+    g_step = jax.jit(make_stage_b_g_step(B_GCFG, B_DCFG, B_HP, g_tx))
+    path_step = jax.jit(make_stage_b_path_step(B_GCFG, B_HP, g_tx))
+
+    real = jax.random.uniform(KEY, (B_HP.batch, 32, 32, 3)) * 2 - 1
+    d, d_state, dm1 = d_step_reg(g, d, d_state, jax.random.PRNGKey(1), real)
+    assert "r1" in dm1
+    d, d_state, dm2 = d_step(g, d, d_state, jax.random.PRNGKey(2), real)
+    assert "r1" not in dm2
+
+    g_before = jax.tree_util.tree_map(jnp.copy, g)
+    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(3))
+    assert "g" in gm and "g_content" in gm
+    # renderer + mapping frozen, decoder updated
+    r_delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_before["renderer"], g["renderer"]
+    )
+    assert max(jax.tree_util.tree_leaves(r_delta)) == 0.0
+    dec_delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_before["decoder"], g["decoder"]
+    )
+    assert max(jax.tree_util.tree_leaves(dec_delta)) > 0.0
+
+    mean_pl = jnp.zeros(())
+    g, g_state, mean_pl, pm = path_step(g, g_state, mean_pl, jax.random.PRNGKey(4))
+    assert "path" in pm and np.isfinite(float(pm["path"]))
+    assert _finite(g)
+
+
+def test_ema_accumulate_decay():
+    a = {"w": jnp.ones((3,))}
+    b = {"w": jnp.zeros((3,))}
+    out = accumulate(a, b, decay=0.75)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.75)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_stage_a_data_parallel_on_mesh():
+    mesh = make_mesh()
+    kg, kd = jax.random.split(KEY)
+    g = init_generator(kg, A_GCFG)
+    d = init_volume_render_discriminator(kd, A_DCFG)
+    hp = TrainHParams(batch=8, style_dim=16)
+    g_tx, d_tx = stage_a_optimizers()
+    d_state = d_tx.init(d)
+
+    d_step = data_parallel_jit(
+        make_stage_a_d_step(A_GCFG, A_DCFG, hp, d_tx), mesh, batch_argnums=(4,)
+    )
+    g = replicate(g, mesh)
+    d = replicate(d, mesh)
+    d_state = replicate(d_state, mesh)
+    real = shard_batch(jax.random.uniform(KEY, (8, 8, 8, 3)) * 2 - 1, mesh)
+    d2, d_state2, dm = d_step(g, d, d_state, jax.random.PRNGKey(1), real)
+    assert np.isfinite(float(dm["d"]))
+    # results match the single-device step
+    d_ref_step = jax.jit(make_stage_a_d_step(A_GCFG, A_DCFG, hp, d_tx))
+    d3, _, dm_ref = d_ref_step(g, d, d_tx.init(d), jax.random.PRNGKey(1),
+                               jax.device_get(real))
+    np.testing.assert_allclose(float(dm["d"]), float(dm_ref["d"]), rtol=1e-4)
