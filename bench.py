@@ -1,0 +1,73 @@
+"""Benchmark: 256^2 multi-view synthesis throughput on the available chip.
+
+Measures images/sec for the flagship full-pipeline generator forward
+(mapping -> 8-layer FiLM-SIREN volume renderer @64^2x24 samples ->
+StyleGAN2 decoder to 256^2), batch 4 — the BASELINE.json headline metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+``vs_baseline`` is measured against an estimated H100 PyTorch-reference
+throughput for the same forward (see BASELINE.md: the reference publishes
+no numbers; eval.py measures ~wall-clock per image at eval time.  We use
+2.5 img/s/GPU as the reference figure: the RTX-2080-era pipeline generates
+5000 eval images in tens of minutes; an H100 is ~6x a 2080 on this
+workload).  The target is >= 5x.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+REFERENCE_H100_IMAGES_PER_SEC = 2.5
+BATCH = 4
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    params, z0, extr, focal, near, far, key = args
+
+    # Chain iterations through a scalar data dependency so queued dispatches
+    # cannot overlap-or-escape the timed region, and sync by fetching a
+    # scalar (block_until_ready can be a no-op on tunneled remote arrays).
+    def chained(params, z, extr, focal, near, far, key, feedback):
+        rgb, thumb = fn(params, z + 0.0 * feedback, extr, focal, near, far, key)
+        return rgb, thumb, jnp.mean(rgb)
+
+    jfn = jax.jit(chained)
+
+    fb = jnp.zeros(())
+    for _ in range(WARMUP + 1):
+        rgb, thumb, fb = jfn(params, z0, extr, focal, near, far, key, fb)
+    float(fb)  # sync
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        rgb, thumb, fb = jfn(params, z0, extr, focal, near, far, key, fb)
+    float(fb)  # sync: forces the whole chain to have executed
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 4)",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / REFERENCE_H100_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
