@@ -1,0 +1,73 @@
+"""Multi-resolution face dataset over the native record store.
+
+Rebuild of the reference ``MultiResolutionDataset``
+(``im2scene/sdf/models/sdf_utils.py:404-444``): records keyed
+``f"{size}-{idx:05d}"`` hold encoded images; ``__getitem__`` returns the
+image at the training resolution plus a 64^2 thumb produced by HAMMING
+resize, both randomly h-flipped together and normalized to [-1, 1].
+
+Differences from the reference (deliberate, TPU-first):
+* storage is the mmap'd native record store (LMDB is not in this image;
+  same logical key scheme — ``prepare.py`` writes it);
+* arrays are channel-LAST float32 (NHWC), ready for device upload;
+* randomness is an explicit ``numpy.random.Generator`` per call, so
+  multi-worker loading is reproducible.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..native import RecordReader
+
+
+class MultiResolutionDataset:
+    def __init__(
+        self,
+        path: str,
+        resolution: int = 256,
+        nerf_resolution: int = 64,
+        hflip: bool = True,
+    ):
+        self.reader = RecordReader(path)
+        length = self.reader.get("length")
+        if length is None:
+            raise IOError(f"record store at {path} has no 'length' key")
+        self.length = int(length.decode())
+        self.resolution = resolution
+        self.nerf_resolution = nerf_resolution
+        self.hflip = hflip
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(
+        self, index: int, rng: Optional[np.random.Generator] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        key = f"{self.resolution}-{str(index).zfill(5)}"
+        data = self.reader.get(key)
+        if data is None:
+            raise KeyError(key)
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+
+        rng = rng or np.random.default_rng()
+        if self.hflip and rng.random() > 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+
+        thumb = img.resize(
+            (self.nerf_resolution, self.nerf_resolution), Image.HAMMING
+        )
+        return self._to_array(img), self._to_array(thumb)
+
+    @staticmethod
+    def _to_array(img: Image.Image) -> np.ndarray:
+        """uint8 HWC -> float32 [-1, 1] HWC (torch Normalize(0.5, 0.5))."""
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return arr * 2.0 - 1.0
+
+    def close(self) -> None:
+        self.reader.close()

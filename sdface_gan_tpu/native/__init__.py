@@ -1,0 +1,183 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Two components replace native pieces of the reference stack:
+
+* ``recordstore`` — mmap'd key-value dataset container standing in for
+  LMDB (``sdf_utils.py:404-444``, ``prepare_data.py:52-63``); same logical
+  key scheme (``f"{size}-{idx:05d}"`` -> encoded image bytes, ``length``).
+* ``marching_cubes`` — isosurface extraction standing in for
+  scikit-image's (``sdf_utils.py:188-205``).
+
+Compiled on first import with g++ (cached as ``_native.so`` next to the
+sources); the compute path stays JAX/XLA — these are host-runtime pieces.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SO = _DIR / "_native.so"
+_SOURCES = ["recordstore.cpp", "marching_cubes.cpp"]
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    srcs = [str(_DIR / s) for s in _SOURCES]
+    newest_src = max(os.path.getmtime(s) for s in srcs + [str(_DIR / "mc_tables.h")])
+    if _SO.exists() and os.path.getmtime(_SO) >= newest_src:
+        return
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        *srcs, "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _build()
+        _lib = ctypes.CDLL(str(_SO))
+        L = _lib
+        L.rs_writer_open.restype = ctypes.c_void_p
+        L.rs_writer_open.argtypes = [ctypes.c_char_p]
+        L.rs_writer_put.restype = ctypes.c_int
+        L.rs_writer_put.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64
+        ]
+        L.rs_writer_close.restype = ctypes.c_int
+        L.rs_writer_close.argtypes = [ctypes.c_void_p]
+        L.rs_reader_open.restype = ctypes.c_void_p
+        L.rs_reader_open.argtypes = [ctypes.c_char_p]
+        L.rs_reader_count.restype = ctypes.c_int64
+        L.rs_reader_count.argtypes = [ctypes.c_void_p]
+        L.rs_reader_size.restype = ctypes.c_int64
+        L.rs_reader_size.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        L.rs_reader_get.restype = ctypes.c_void_p
+        L.rs_reader_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64)
+        ]
+        L.rs_reader_key.restype = ctypes.c_char_p
+        L.rs_reader_key.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        L.rs_reader_close.restype = None
+        L.rs_reader_close.argtypes = [ctypes.c_void_p]
+        L.mc_run.restype = ctypes.c_void_p
+        L.mc_run.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float,
+        ]
+        L.mc_num_verts.restype = ctypes.c_int64
+        L.mc_num_verts.argtypes = [ctypes.c_void_p]
+        L.mc_num_faces.restype = ctypes.c_int64
+        L.mc_num_faces.argtypes = [ctypes.c_void_p]
+        L.mc_copy.restype = None
+        L.mc_copy.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        L.mc_free.restype = None
+        L.mc_free.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+class RecordWriter:
+    """Append-only writer for the native record store."""
+
+    def __init__(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        self._h = lib().rs_writer_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open record store for writing: {path}")
+
+    def put(self, key: str, value: bytes) -> None:
+        rc = lib().rs_writer_put(self._h, key.encode(), value, len(value))
+        if rc != 0:
+            raise IOError(f"write failed for key {key}")
+
+    def close(self) -> None:
+        if self._h:
+            lib().rs_writer_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RecordReader:
+    """Zero-copy mmap reader for the native record store."""
+
+    def __init__(self, path: str):
+        self._h = lib().rs_reader_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open record store: {path}")
+
+    def __len__(self) -> int:
+        return int(lib().rs_reader_count(self._h))
+
+    def keys(self):
+        for i in range(len(self)):
+            yield lib().rs_reader_key(self._h, i).decode()
+
+    def get(self, key: str) -> Optional[bytes]:
+        n = ctypes.c_uint64()
+        ptr = lib().rs_reader_get(self._h, key.encode(), ctypes.byref(n))
+        if not ptr:
+            return None
+        return ctypes.string_at(ptr, n.value)
+
+    def close(self) -> None:
+        if self._h:
+            lib().rs_reader_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def marching_cubes(
+    grid: np.ndarray, level: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the `level` isosurface of a [nx, ny, nz] float volume.
+
+    Returns (verts [V, 3] float32 in voxel coordinates, faces [F, 3] int32).
+    Same convention as skimage.measure.marching_cubes (used by the
+    reference at ``sdf_utils.py:195``): surface where the field crosses
+    ``level``, vertices linearly interpolated along cell edges.
+    """
+    g = np.ascontiguousarray(grid, dtype=np.float32)
+    if g.ndim != 3:
+        raise ValueError(f"expected 3D volume, got {g.shape}")
+    h = lib().mc_run(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        g.shape[0], g.shape[1], g.shape[2], float(level),
+    )
+    if not h:
+        raise ValueError("marching cubes failed (volume too small?)")
+    try:
+        nv = lib().mc_num_verts(h)
+        nf = lib().mc_num_faces(h)
+        verts = np.empty((nv, 3), dtype=np.float32)
+        faces = np.empty((nf, 3), dtype=np.int32)
+        if nv:
+            lib().mc_copy(
+                h,
+                verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        return verts, faces
+    finally:
+        lib().mc_free(h)

@@ -1,0 +1,153 @@
+"""Native record store, data pipeline, and mesh-extraction tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sdface_gan_tpu.data import DataLoader, MultiResolutionDataset, prepare_data
+from sdface_gan_tpu.geometry.mesh import (
+    Mesh,
+    align_volume,
+    extract_mesh_with_marching_cubes,
+    xyz2mesh,
+)
+from sdface_gan_tpu.native import RecordReader, RecordWriter, marching_cubes
+
+
+# ------------------------------------------------------------- record store
+def test_record_store_roundtrip(tmp_path):
+    path = str(tmp_path / "store")
+    with RecordWriter(path) as w:
+        for i in range(5):
+            w.put(f"k{i}", bytes([i]) * (i + 1))
+        w.put("length", b"5")
+    with RecordReader(path) as r:
+        assert len(r) == 6
+        for i in range(5):
+            assert r.get(f"k{i}") == bytes([i]) * (i + 1)
+        assert r.get("nope") is None
+        assert list(r.keys())[:2] == ["k0", "k1"]
+
+
+# ------------------------------------------------------------ data pipeline
+def _make_image_dir(tmp_path, n=6, size=40):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{i:03d}.png")
+    return str(d)
+
+
+def test_prepare_and_dataset_and_loader(tmp_path):
+    in_dir = _make_image_dir(tmp_path)
+    store = str(tmp_path / "store")
+    n = prepare_data(in_dir, store, sizes=(16, 32), n_workers=1)
+    assert n == 6
+
+    ds = MultiResolutionDataset(store, resolution=32, nerf_resolution=16)
+    assert len(ds) == 6
+    img, thumb = ds[0]
+    assert img.shape == (32, 32, 3) and thumb.shape == (16, 16, 3)
+    assert img.dtype == np.float32
+    assert img.min() >= -1.0 and img.max() <= 1.0
+
+    loader = DataLoader(ds, batch_size=4, seed=1)
+    it = iter(loader)
+    imgs, thumbs = next(it)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert thumbs.shape == (4, 16, 16, 3)
+    imgs2, _ = next(it)
+    assert imgs2.shape == (4, 32, 32, 3)
+    ds.close()
+
+
+def test_dataset_hflip_consistency(tmp_path):
+    """img and thumb must be flipped together (thumb derives from the
+    flipped image, reference sdf_utils.py:436-441)."""
+    in_dir = _make_image_dir(tmp_path, n=1, size=32)
+    store = str(tmp_path / "store")
+    prepare_data(in_dir, store, sizes=(16, 32), n_workers=1)
+    ds = MultiResolutionDataset(store, resolution=32, nerf_resolution=32, hflip=True)
+    rng_flip = np.random.default_rng(3)  # first random() > 0.5 -> flip
+    while rng_flip.random() <= 0.5:
+        rng_flip = np.random.default_rng(int(rng_flip.integers(1 << 30)))
+    # fetch flipped and unflipped variants
+    img_f, thumb_f = ds.__getitem__(0, np.random.default_rng(3))
+    ds2 = MultiResolutionDataset(store, resolution=32, nerf_resolution=32, hflip=False)
+    img0, _ = ds2[0]
+    # thumb at same resolution as img -> when flipped, thumb == flipped img
+    if not np.allclose(img_f, img0):
+        np.testing.assert_allclose(img_f, img0[:, ::-1])
+        np.testing.assert_allclose(thumb_f, img_f, atol=2e-2)
+    ds.close()
+    ds2.close()
+
+
+# ------------------------------------------------------------ marching cubes
+def test_marching_cubes_sphere_closed():
+    n = 32
+    lin = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    sdf = np.sqrt(x**2 + y**2 + z**2) - 0.5
+    verts, faces = marching_cubes(sdf, 0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    world = verts / (n - 1) * 2 - 1
+    r = np.linalg.norm(world, axis=1)
+    assert abs(float(r.mean()) - 0.5) < 0.02
+    assert float(r.std()) < 0.01
+    # closed surface: each edge shared by exactly two triangles
+    from collections import Counter
+
+    edges = Counter()
+    for f in faces:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edges[(min(a, b), max(a, b))] += 1
+    assert set(edges.values()) == {2}
+
+
+def test_extract_mesh_scaling_and_export(tmp_path):
+    n = 24
+    lin = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    sdf = (np.sqrt(x**2 + y**2 + z**2) - 0.5)[None, ..., None]
+    mesh = extract_mesh_with_marching_cubes(sdf)
+    # verts centered at 0, max extent ~ 0.24 * 0.25 (r=0.5 of [-1,1] range)
+    assert np.abs(mesh.verts.mean(0)).max() < 0.02
+    assert np.abs(mesh.verts).max() < 0.12
+    obj = str(tmp_path / "m.obj")
+    ply = str(tmp_path / "m.ply")
+    mesh.export_obj(obj)
+    mesh.export_ply(ply)
+    assert os.path.getsize(obj) > 100
+    assert os.path.getsize(ply) > 100
+    # obj roundtrip line count
+    lines = open(obj).read().splitlines()
+    assert sum(l.startswith("v ") for l in lines) == len(mesh.verts)
+    assert sum(l.startswith("f ") for l in lines) == len(mesh.faces)
+
+
+def test_align_volume_identity_center():
+    """The depth-center plane (adjust ~ mid) only rescales xy; the far
+    plane (adjust == 1) is passed through unchanged."""
+    import jax.numpy as jnp
+
+    b, h, w, d, c = 1, 9, 9, 5, 1
+    vol = np.random.default_rng(0).standard_normal((b, h, w, d, c)).astype(np.float32)
+    out = np.asarray(align_volume(jnp.asarray(vol)))
+    assert out.shape == vol.shape
+    # last depth slice has adjustment coeff exactly 1 -> identity there
+    np.testing.assert_allclose(out[0, :, :, -1, 0], vol[0, :, :, -1, 0], atol=1e-5)
+    assert np.all(np.isfinite(out))
+
+
+def test_xyz2mesh_grid():
+    h = w = 8
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    xyz = np.stack([xx, yy, np.zeros_like(xx)], -1)[None]
+    mesh = xyz2mesh(xyz)
+    assert mesh.verts.shape == (64, 3)
+    assert mesh.faces.shape[1] == 3 and len(mesh.faces) >= 2 * (h - 1) * (w - 1) - 2
