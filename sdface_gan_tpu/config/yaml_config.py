@@ -49,6 +49,13 @@ def load_config(path: str, default_path: Optional[str] = None) -> ConfigNode:
     return cfg
 
 
+def default_config_path() -> str:
+    """Path to the repo's ``configs/default.yaml`` (the base every config
+    inherits, reference ``train.py:66``)."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "configs", "default.yaml")
+
+
 def save_config(cfg: ConfigNode, path: str) -> None:
     with open(path, "w") as f:
         yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)

@@ -1,0 +1,306 @@
+"""Staged training drivers: sphere init -> volume renderer -> full pipeline.
+
+Host-side orchestration around the jitted steps in :mod:`steps`,
+replicating the reference's stage contracts
+(``im2scene/training_utils.py:197-881``):
+
+* auto-resume from the newest ``models_{it:07d}`` checkpoint;
+* sphere-init warmup saved as ``sdf_init_models`` (skipped on resume);
+* periodic ``models_*`` saves + stage-final ``vol_renderer`` /
+  ``full_pipeline`` artifacts;
+* stage B starts from the stage-A EMA weights via shape-matched copy
+  (``training_utils.py:604-610``) and alternates lazy-R1 D variants and
+  path-length-reg G steps on the reference cadences;
+* sample grids on a sweep-camera rig every ``sample_every`` iterations.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.cameras import generate_camera_params
+from ..models.discriminator import (
+    StyleDiscConfig,
+    VolumeRenderDiscConfig,
+    init_style_discriminator,
+    init_volume_render_discriminator,
+)
+from ..models.generator import GeneratorConfig, generator_forward, init_generator
+from ..utils.checkpoints import (
+    checkpoint_exists,
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ..utils.images import save_image_grid
+from ..utils.logging import MetricsLogger
+from .ema import accumulate
+from .optim import decoder_only, stage_a_optimizers, stage_b_optimizers
+from .steps import (
+    TrainHParams,
+    make_sphere_init_step,
+    make_stage_a_d_step,
+    make_stage_a_g_step,
+    make_stage_b_d_step,
+    make_stage_b_g_step,
+    make_stage_b_path_step,
+)
+
+Params = Dict[str, Any]
+
+
+def copy_matching(dst: Params, src: Params) -> Params:
+    """Shape-matched partial state copy (reference cross-stage transfer,
+    ``training_utils.py:604-610``): recursively take ``src`` values whose
+    shapes match; keep ``dst`` elsewhere."""
+    if isinstance(dst, dict):
+        out = {}
+        for k, v in dst.items():
+            out[k] = copy_matching(v, src[k]) if isinstance(src, dict) and k in src else v
+        return out
+    if isinstance(dst, (list, tuple)):
+        if isinstance(src, (list, tuple)) and len(src) == len(dst):
+            res = [copy_matching(d, s) for d, s in zip(dst, src)]
+            return type(dst)(res) if isinstance(dst, tuple) else res
+        return dst
+    if hasattr(dst, "shape") and hasattr(src, "shape") and dst.shape == src.shape:
+        return src
+    return dst
+
+
+def _sample_grid(
+    g_ema: Params,
+    gcfg: GeneratorConfig,
+    hp: TrainHParams,
+    path: str,
+    n_identities: int = 4,
+    truncation: float = 0.7,
+) -> None:
+    """Render an (identities x 8 sweep views) grid from the EMA generator
+    (reference sample cadence, ``training_utils.py:473-499``)."""
+    from ..models.generator import mean_latent
+
+    key = jax.random.PRNGKey(0)
+    kz, km = jax.random.split(key)
+    z = jax.random.normal(kz, (n_identities, hp.style_dim))
+    z = jnp.repeat(z, 8, axis=0)
+    cams = generate_camera_params(
+        gcfg.renderer.out_im_res,
+        jax.random.PRNGKey(1),
+        batch=n_identities,
+        sweep=True,
+        uniform=hp.camera.uniform,
+        azim_range=hp.camera.azim,
+        elev_range=hp.camera.elev,
+        fov_ang=hp.camera.fov,
+        dist_radius=hp.camera.dist_radius,
+    )
+    trunc = mean_latent(g_ema, gcfg, km)
+    out = generator_forward(
+        g_ema, gcfg, [z], cams.extrinsics, cams.focal, cams.near, cams.far,
+        truncation=truncation, truncation_latent=trunc,
+    )
+    img = out.rgb if out.rgb is not None else out.thumb_rgb
+    save_image_grid(np.asarray(img), path, nrow=8)
+
+
+def train_volume_renderer(
+    loader,
+    gcfg: GeneratorConfig,
+    dcfg: VolumeRenderDiscConfig,
+    hp: TrainHParams,
+    out_dir: str,
+    iters: int = 200000,
+    sphere_init_iters: int = 10000,
+    no_sphere_init: bool = False,
+    save_every: int = 10000,
+    sample_every: int = 1000,
+    log_every: int = 100,
+    seed: int = 0,
+    exit_after: Optional[float] = None,
+) -> Params:
+    """Stage A (reference ``train_vol_render``, ``training_utils.py:197-549``).
+
+    Returns the EMA generator params; writes ``vol_renderer`` on completion.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricsLogger(out_dir, "vol_render", print_every=log_every)
+    key = jax.random.PRNGKey(seed)
+    kg, kd = jax.random.split(key)
+    g = init_generator(kg, gcfg)
+    d = init_volume_render_discriminator(kd, dcfg)
+    g_ema = jax.tree_util.tree_map(jnp.copy, g)
+
+    g_tx, d_tx = stage_a_optimizers()
+    g_state = g_tx.init(g)
+    d_state = d_tx.init(d)
+
+    start_iter = 0
+    resumed = False
+    latest = latest_checkpoint_step(out_dir)
+    if latest is not None:
+        ck = load_checkpoint(
+            out_dir, f"models_{latest:07d}",
+            {"g": g, "d": d, "g_ema": g_ema, "g_opt": g_state, "d_opt": d_state,
+             "step": 0},
+        )
+        g, d, g_ema = ck["g"], ck["d"], ck["g_ema"]
+        g_state, d_state = ck["g_opt"], ck["d_opt"]
+        start_iter = int(ck["step"])
+        resumed = True
+        print(f"resumed volume renderer from step {start_iter}")
+    elif checkpoint_exists(out_dir, "sdf_init_models"):
+        ck = load_checkpoint(out_dir, "sdf_init_models", {"g": g, "g_ema": g_ema})
+        g, g_ema = ck["g"], ck["g_ema"]
+        resumed = True
+        print("loaded sphere-initialized model")
+
+    # Sphere init warmup (batch 3, main G optimizer; training_utils.py:287-327)
+    if gcfg.renderer.with_sdf and not no_sphere_init and not resumed:
+        init_hp = TrainHParams(batch=3, style_dim=hp.style_dim, camera=hp.camera)
+        init_step = jax.jit(make_sphere_init_step(gcfg, init_hp, g_tx))
+        t0 = time.time()
+        for i in range(sphere_init_iters):
+            key, sub = jax.random.split(key)
+            g, g_state, m = init_step(g, g_state, sub)
+            if i % max(log_every, 100) == 0:
+                logger.log(i, {"sdf_init_loss": m["sdf_init_loss"]})
+        g_ema = jax.tree_util.tree_map(jnp.copy, g)  # accumulate(·,·,0)
+        save_checkpoint(out_dir, "sdf_init_models", {"g": g, "g_ema": g_ema})
+        print(f"sphere init done in {time.time() - t0:.0f}s")
+        # fresh optimizer state for the adversarial phase
+        g_state = g_tx.init(g)
+
+    d_step = jax.jit(make_stage_a_d_step(gcfg, dcfg, hp, d_tx))
+    g_step = jax.jit(make_stage_a_g_step(gcfg, dcfg, hp, g_tx))
+
+    data = iter(loader)
+    t_start = time.time()
+    for i in range(start_iter, iters):
+        _, thumbs = next(data)
+        key, k1, k2 = jax.random.split(key, 3)
+        d, d_state, dm = d_step(g, d, d_state, k1, jnp.asarray(thumbs))
+        g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
+        if i % log_every == 0:
+            logger.log(i, {**{k: v for k, v in dm.items()}, **gm})
+        if sample_every and i % sample_every == 0:
+            _sample_grid(g_ema, gcfg, hp, os.path.join(out_dir, f"samples_{i:07d}.png"))
+        if save_every and i and i % save_every == 0:
+            save_checkpoint(
+                out_dir, f"models_{i:07d}",
+                {"g": g, "d": d, "g_ema": g_ema, "g_opt": g_state,
+                 "d_opt": d_state, "step": i},
+            )
+        if exit_after is not None and time.time() - t_start > exit_after:
+            save_checkpoint(
+                out_dir, f"models_{i:07d}",
+                {"g": g, "d": d, "g_ema": g_ema, "g_opt": g_state,
+                 "d_opt": d_state, "step": i},
+            )
+            print("time budget reached; checkpoint saved (exit code 3 contract)")
+            raise SystemExit(3)
+
+    save_checkpoint(out_dir, "vol_renderer", {"g": g, "d": d, "g_ema": g_ema})
+    logger.close()
+    return g_ema
+
+
+def train_full_pipeline(
+    loader,
+    gcfg: GeneratorConfig,
+    dcfg: StyleDiscConfig,
+    hp: TrainHParams,
+    out_dir: str,
+    vol_renderer_dir: Optional[str] = None,
+    init_from: str = "vol_renderer",
+    iters: int = 300000,
+    save_every: int = 10000,
+    sample_every: int = 1000,
+    log_every: int = 100,
+    seed: int = 0,
+    exit_after: Optional[float] = None,
+) -> Params:
+    """Stage B (reference ``train_full_pipeline``,
+    ``training_utils.py:552-881``).  Writes ``full_pipeline`` at the end."""
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricsLogger(out_dir, "full_pipeline", print_every=log_every)
+    key = jax.random.PRNGKey(seed)
+    kg, kd = jax.random.split(key)
+    g = init_generator(kg, gcfg)
+    d = init_style_discriminator(kd, dcfg)
+
+    g_tx_raw, d_tx = stage_b_optimizers(
+        lr=2e-3, g_reg_every=hp.g_reg_every, d_reg_every=hp.d_reg_every
+    )
+    g_tx = decoder_only(g_tx_raw, g)
+    g_state = g_tx.init(g)
+    d_state = d_tx.init(d)
+
+    start_iter = 0
+    latest = latest_checkpoint_step(out_dir)
+    if latest is not None:
+        ck = load_checkpoint(
+            out_dir, f"models_{latest:07d}",
+            {"g": g, "d": d, "g_ema": g, "g_opt": g_state, "d_opt": d_state,
+             "step": 0, "mean_path_length": jnp.zeros(())},
+        )
+        g, d = ck["g"], ck["d"]
+        g_ema = ck["g_ema"]
+        g_state, d_state = ck["g_opt"], ck["d_opt"]
+        mean_path_length = ck["mean_path_length"]
+        start_iter = int(ck["step"])
+        print(f"resumed full pipeline from step {start_iter}")
+    else:
+        # load the stage-A EMA weights (or the sphere init for --wod)
+        src_dir = vol_renderer_dir or out_dir
+        if checkpoint_exists(src_dir, init_from):
+            prev = load_checkpoint(src_dir, init_from)
+            g = copy_matching(g, prev["g_ema"])
+            print(f"initialized renderer from {init_from}")
+        g_ema = jax.tree_util.tree_map(jnp.copy, g)
+        mean_path_length = jnp.zeros(())
+
+    d_step_plain = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, False))
+    d_step_reg = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, True))
+    g_step = jax.jit(make_stage_b_g_step(gcfg, dcfg, hp, g_tx))
+    path_step = jax.jit(make_stage_b_path_step(gcfg, hp, g_tx))
+
+    data = iter(loader)
+    t_start = time.time()
+    for i in range(start_iter, iters):
+        imgs, _ = next(data)
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        d_step_fn = d_step_reg if i % hp.d_reg_every == 0 else d_step_plain
+        d, d_state, dm = d_step_fn(g, d, d_state, k1, jnp.asarray(imgs))
+        g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
+        if hp.g_reg_every > 0 and i % hp.g_reg_every == 0:
+            g, g_state, mean_path_length, pm = path_step(g, g_state, mean_path_length, k3)
+            gm = {**gm, **pm}
+        if i % log_every == 0:
+            logger.log(i, {**dm, **gm})
+        if sample_every and i % sample_every == 0:
+            _sample_grid(g_ema, gcfg, hp, os.path.join(out_dir, f"samples_{i:07d}.png"))
+        if save_every and i and i % save_every == 0:
+            save_checkpoint(
+                out_dir, f"models_{i:07d}",
+                {"g": g, "d": d, "g_ema": g_ema, "g_opt": g_state,
+                 "d_opt": d_state, "step": i, "mean_path_length": mean_path_length},
+            )
+        if exit_after is not None and time.time() - t_start > exit_after:
+            save_checkpoint(
+                out_dir, f"models_{i:07d}",
+                {"g": g, "d": d, "g_ema": g_ema, "g_opt": g_state,
+                 "d_opt": d_state, "step": i, "mean_path_length": mean_path_length},
+            )
+            print("time budget reached; checkpoint saved (exit code 3 contract)")
+            raise SystemExit(3)
+
+    save_checkpoint(out_dir, "full_pipeline", {"g": g, "d": d, "g_ema": g_ema})
+    logger.close()
+    return g_ema

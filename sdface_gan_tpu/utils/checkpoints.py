@@ -1,0 +1,104 @@
+"""Checkpointing with the reference's three-stage artifact contract.
+
+Rebuild of two reference schemes (SURVEY.md §5):
+* SDF stages: periodic ``models_{it:07d}`` under
+  ``out/<exp>/{volume_renderer,full_pipeline,encoder}/`` plus stage-final
+  artifacts ``sdf_init_models`` / ``vol_renderer`` / ``full_pipeline``
+  (``training_utils.py:318-327,525-549,857-881``), with auto-resume by
+  directory scan (``get_ckpt_nums``, ``sdf_utils.py:382-401``).
+* GIRAFFE ``CheckpointIO`` dict-of-states with scalars
+  (``checkpoints.py:9-126``).
+
+Storage is orbax (atomic directory checkpoints of pytrees); scalars ride
+along in the same tree.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+
+def _path(base: str, name: str) -> str:
+    return os.path.abspath(os.path.join(base, name))
+
+
+def save_checkpoint(base_dir: str, name: str, tree: Dict[str, Any]) -> str:
+    """Save a pytree checkpoint (overwrites)."""
+    path = _path(base_dir, name)
+    os.makedirs(base_dir, exist_ok=True)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+    return path
+
+
+def load_checkpoint(
+    base_dir: str, name: str, target: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
+    """Load a checkpoint; ``target`` (matching pytree of arrays) restores
+    exact dtypes/shapes when given."""
+    path = _path(base_dir, name)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
+
+
+def checkpoint_exists(base_dir: str, name: str) -> bool:
+    return os.path.isdir(_path(base_dir, name))
+
+
+def latest_checkpoint_step(base_dir: str, prefix: str = "models_") -> Optional[int]:
+    """Scan for the newest ``models_{step:07d}`` checkpoint (reference
+    ``get_ckpt_nums`` regex scan, ``sdf_utils.py:382-401``)."""
+    if not os.path.isdir(base_dir):
+        return None
+    best = None
+    pat = re.compile(rf"^{re.escape(prefix)}(\d+)$")
+    for entry in os.listdir(base_dir):
+        m = pat.match(entry)
+        if m:
+            step = int(m.group(1))
+            best = step if best is None or step > best else best
+    return best
+
+
+class CheckpointIO:
+    """GIRAFFE-style named checkpoint manager (reference
+    ``checkpoints.py:9-126``): one dict holding model/optimizer states and
+    scalars, with ``model.pt``-like named saves, numbered backups and
+    best-model copies."""
+
+    def __init__(self, checkpoint_dir: str):
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def save(self, filename: str, **kwargs: Any) -> str:
+        return save_checkpoint(self.checkpoint_dir, filename, dict(kwargs))
+
+    def load(self, filename: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        if not checkpoint_exists(self.checkpoint_dir, filename):
+            raise FileNotFoundError(os.path.join(self.checkpoint_dir, filename))
+        return load_checkpoint(self.checkpoint_dir, filename, target)
+
+    def exists(self, filename: str) -> bool:
+        return checkpoint_exists(self.checkpoint_dir, filename)
+
+    def backup_model_best(self, filename: str = "model_best") -> Optional[str]:
+        """Timestamped copy of the best checkpoint (reference
+        ``checkpoints.py:42-55``)."""
+        import time
+
+        src = _path(self.checkpoint_dir, filename)
+        if not os.path.isdir(src):
+            return None
+        ts = time.strftime("%Y_%m_%d_%H_%M_%S")
+        dst = _path(self.checkpoint_dir, f"backup_{ts}_{filename}")
+        shutil.copytree(src, dst)
+        return dst
