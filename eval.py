@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Evaluation CLI — the reference ``eval.py`` protocol, with the FID tail
+actually working.
+
+Protocol (reference ``eval.py:87-167`` + ``README.md:44-53``): load the
+``full_pipeline`` EMA generator, sample N identities (one random camera
+each) at truncation 1, dump PNGs to ``out/<exp>/eval/``, then score FID
+(and KID) in-process against either a precomputed stats ``.npz`` or a
+directory/record-store of real images.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate an SDFace-GAN TPU model.")
+    p.add_argument("--config", type=str, default="configs/256res/ffhq_256_sdf.yaml")
+    p.add_argument("--sdf", type=int, default=1)
+    p.add_argument("--ngp", type=int, default=0)
+    p.add_argument("--fc", type=int, default=0)
+    p.add_argument("--n_images", type=int, default=5000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--fid_file", type=str, default=None,
+                   help=".npz with precomputed (mu, sigma) real stats")
+    p.add_argument("--real_dir", type=str, default=None,
+                   help="directory of real images to score against")
+    p.add_argument("--inception_weights", type=str, default=None,
+                   help="pytorch-fid inception checkpoint for exact parity")
+    p.add_argument("--no_fid", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdface_gan_tpu.config import load_config
+    from sdface_gan_tpu.config.build import generator_config
+    from sdface_gan_tpu.config.sdf_options import get_vol_render_opt
+    from sdface_gan_tpu.config.yaml_config import default_config_path
+    from sdface_gan_tpu.geometry import generate_camera_params
+    from sdface_gan_tpu.models.generator import generator_forward, init_generator
+    from sdface_gan_tpu.utils.checkpoints import load_checkpoint
+    from sdface_gan_tpu.utils.images import save_image
+
+    cfg = load_config(args.config, default_config_path())
+    expname = cfg["training"]["out_dir"].split("/")[1]
+    out_base = os.path.join("./out", expname)
+    eval_dir = os.path.join(out_base, "eval")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    img_size = cfg["data"].get("img_size", 256)
+    opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
+                             size=img_size, batch=args.batch)
+    gcfg = generator_config(opt, stage_a=False)
+
+    template = init_generator(jax.random.PRNGKey(0), gcfg)
+    ck = load_checkpoint(out_base, "full_pipeline", {"g_ema": template})
+    g_ema = ck["g_ema"]
+
+    res = gcfg.renderer.out_im_res
+
+    @jax.jit
+    def sample(params, z, extr, focal, near, far, key):
+        out = generator_forward(params, gcfg, [z], extr, focal, near, far, key=key)
+        return out.rgb
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    n_done = 0
+    fakes = []
+    while n_done < args.n_images:
+        b = min(args.batch, args.n_images - n_done)
+        key, kz, kc, kr = jax.random.split(key, 4)
+        z = jax.random.normal(kz, (args.batch, gcfg.style_dim))
+        cams = generate_camera_params(res, kc, batch=args.batch)
+        imgs = np.asarray(
+            sample(g_ema, z, cams.extrinsics, cams.focal, cams.near, cams.far, kr)
+        )[:b]
+        for i in range(b):
+            save_image(imgs[i], os.path.join(eval_dir, f"{n_done + i:07d}.png"))
+        fakes.append(imgs)
+        n_done += b
+    dt = time.time() - t0
+    print(f"generated {n_done} images in {dt:.1f}s "
+          f"({dt / max(n_done, 1):.3f} s/image)")
+
+    if args.no_fid:
+        return
+
+    from sdface_gan_tpu.evaluation import (
+        calculate_activation_statistics,
+        calculate_frechet_distance,
+        calculate_kid,
+        compute_activations,
+        load_inception,
+        load_stats_npz,
+    )
+
+    inc = load_inception(args.inception_weights)
+    fake_acts = compute_activations(inc, fakes, batch_size=args.batch)
+    mu_f, s_f = calculate_activation_statistics(fake_acts)
+
+    fid_file = args.fid_file or cfg["data"].get("fid_file")
+    if fid_file and os.path.exists(fid_file):
+        mu_r, s_r = load_stats_npz(fid_file)
+        fid = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
+        print(f"FID: {fid:.4f}")
+    elif args.real_dir:
+        from PIL import Image
+
+        def real_iter():
+            names = sorted(os.listdir(args.real_dir))[: args.n_images]
+            for name in names:
+                img = Image.open(os.path.join(args.real_dir, name)).convert("RGB")
+                img = img.resize((img_size, img_size), Image.LANCZOS)
+                arr = np.asarray(img, np.float32) / 127.5 - 1.0
+                yield arr[None]
+
+        real_acts = compute_activations(inc, real_iter(), batch_size=args.batch)
+        mu_r, s_r = calculate_activation_statistics(real_acts)
+        fid = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
+        kid_mean, kid_std = calculate_kid(fake_acts, real_acts)
+        print(f"FID: {fid:.4f}  KID: {kid_mean:.6f} +- {kid_std:.6f}")
+    else:
+        print("no real stats available (pass --fid_file or --real_dir); "
+              "images dumped for external scoring")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Multi-view rendering + marching-cubes mesh export.
+
+Rebuild of the reference ``sdf_mesh.py``: per identity, render an 8-view
+camera sweep at truncation 0.5 from the 256^2 full-pipeline generator, and
+probe a 128^3 SDF volume with a second, weight-sharing surface generator
+(``renderer_spatial_output_dim=128, N_samples=128, full_pipeline=False``,
+``sdf_mesh.py:243-261``); frustum-align the volume and export a .obj via
+the native marching cubes.  Test-mode rendering options follow
+``sdf_mesh.py:211-214``: static viewdirs, forced background, no perturb.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import replace
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Render views + extract meshes.")
+    p.add_argument("--config", type=str, default="configs/256res/ffhq_256_sdf.yaml")
+    p.add_argument("--sdf", type=int, default=1)
+    p.add_argument("--ngp", type=int, default=0)
+    p.add_argument("--fc", type=int, default=0)
+    p.add_argument("--identities", type=int, default=8)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--truncation_ratio", type=float, default=0.5)
+    p.add_argument("--surface_res", type=int, default=128)
+    p.add_argument("--no_surface_renderings", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdface_gan_tpu.config import load_config
+    from sdface_gan_tpu.config.build import generator_config
+    from sdface_gan_tpu.config.sdf_options import get_vol_render_opt
+    from sdface_gan_tpu.config.yaml_config import default_config_path
+    from sdface_gan_tpu.geometry import generate_camera_params
+    from sdface_gan_tpu.geometry.mesh import align_volume, extract_mesh_with_marching_cubes
+    from sdface_gan_tpu.models.generator import (
+        generator_forward,
+        init_generator,
+        mean_latent,
+    )
+    from sdface_gan_tpu.training.loop import copy_matching
+    from sdface_gan_tpu.utils.checkpoints import load_checkpoint
+    from sdface_gan_tpu.utils.images import save_image
+
+    cfg = load_config(args.config, default_config_path())
+    expname = cfg["training"]["out_dir"].split("/")[1]
+    out_base = os.path.join("./out", expname)
+    render_dir = os.path.join(out_base, "renders")
+    mesh_dir = os.path.join(out_base, "meshes")
+    os.makedirs(render_dir, exist_ok=True)
+    os.makedirs(mesh_dir, exist_ok=True)
+
+    opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
+                             size=args.size)
+    # test-mode rendering overrides (reference sdf_mesh.py:211-214)
+    gcfg = generator_config(opt, stage_a=False)
+    gcfg = replace(
+        gcfg,
+        renderer=replace(
+            gcfg.renderer, static_viewdirs=True, force_background=True, perturb=0.0
+        ),
+    )
+    # surface prober: 128^2 rays x 128 samples, renderer only
+    surf_cfg = replace(
+        gcfg,
+        full_pipeline=False,
+        renderer=replace(
+            gcfg.renderer,
+            out_im_res=args.surface_res,
+            n_samples=args.surface_res,
+            return_sdf=True,
+            return_xyz=True,
+        ),
+    )
+
+    template = init_generator(jax.random.PRNGKey(0), gcfg)
+    ck = load_checkpoint(out_base, "full_pipeline", {"g_ema": template})
+    g_ema = ck["g_ema"]
+    surf_params = copy_matching(init_generator(jax.random.PRNGKey(0), surf_cfg), g_ema)
+
+    trunc = mean_latent(g_ema, gcfg, jax.random.PRNGKey(1))
+    surf_trunc = (trunc[0], None)
+
+    @jax.jit
+    def render_views(params, z, extr, focal, near, far):
+        out = generator_forward(
+            params, gcfg, [z], extr, focal, near, far,
+            truncation=args.truncation_ratio, truncation_latent=trunc,
+            randomize_noise=False,
+        )
+        return out.rgb, out.thumb_rgb
+
+    @jax.jit
+    def probe_surface(params, z, extr, focal, near, far):
+        out = generator_forward(
+            params, surf_cfg, [z], extr, focal, near, far,
+            truncation=args.truncation_ratio, truncation_latent=surf_trunc,
+            return_sdf=True, return_xyz=True,
+        )
+        return out.sdf
+
+    key = jax.random.PRNGKey(0)
+    res = gcfg.renderer.out_im_res
+    for ident in range(args.identities):
+        key, kz, kc = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (1, gcfg.style_dim))
+        z8 = jnp.repeat(z, 8, axis=0)
+        cams = generate_camera_params(res, kc, batch=1, sweep=True)
+        rgb, thumb = render_views(
+            g_ema, z8, cams.extrinsics, cams.focal, cams.near, cams.far
+        )
+        for v in range(8):
+            save_image(np.asarray(rgb[v]),
+                       os.path.join(render_dir, f"id{ident:03d}_view{v}.png"))
+            save_image(np.asarray(thumb[v]),
+                       os.path.join(render_dir, f"id{ident:03d}_view{v}_thumb.png"))
+
+        if args.no_surface_renderings:
+            continue
+        # frontal camera for the surface probe (azim=elev=0)
+        front = generate_camera_params(
+            args.surface_res, None, batch=1,
+            locations=jnp.zeros((1, 2)),
+        )
+        sdf = probe_surface(
+            surf_params, z, front.extrinsics, front.focal, front.near, front.far
+        )  # [1, R, R, S, 1]
+        aligned = np.asarray(align_volume(sdf))
+        try:
+            mesh = extract_mesh_with_marching_cubes(aligned)
+        except ValueError as e:
+            print(f"id{ident}: marching cubes failed ({e}); "
+                  "the SDF may not cross zero — train longer or check init")
+            continue
+        mesh.export_obj(os.path.join(mesh_dir, f"id{ident:03d}.obj"))
+        print(f"id{ident}: {len(mesh.verts)} verts, {len(mesh.faces)} faces")
+
+
+if __name__ == "__main__":
+    main()
