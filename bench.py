@@ -23,7 +23,7 @@ import time
 import jax
 
 REFERENCE_H100_IMAGES_PER_SEC = 2.5
-BATCH = 4
+BATCH = 16
 WARMUP = 2
 ITERS = 10
 
@@ -35,6 +35,14 @@ def main() -> None:
 
     fn, args = entry()
     params, z0, extr, focal, near, far, key = args
+    if z0.shape[0] != BATCH:
+        import jax.numpy as _jnp
+
+        from sdface_gan_tpu.geometry import generate_camera_params
+
+        cams = generate_camera_params(64, jax.random.PRNGKey(1), batch=BATCH)
+        z0 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, z0.shape[1]))
+        extr, focal, near, far = cams.extrinsics, cams.focal, cams.near, cams.far
 
     # Chain iterations through a scalar data dependency so queued dispatches
     # cannot overlap-or-escape the timed region, and sync by fetching a
@@ -60,7 +68,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 4)",
+                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 16)",
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / REFERENCE_H100_IMAGES_PER_SEC, 3),

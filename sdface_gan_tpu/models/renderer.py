@@ -175,6 +175,11 @@ def _integrate(
 ):
     """Alpha compositing (reference ``volume_integration``,
     ``sdf_model.py:236-301``).  Returns (rgb, features, sdf, mask, xyz)."""
+    # Compositing runs in f32 regardless of the network compute dtype:
+    # the sigmoid(-sdf/beta)/beta transform and the visibility cumprod are
+    # precision-sensitive (beta anneals toward ~1e-3 during training).
+    raw = raw.astype(jnp.float32)
+    z_vals = z_vals.astype(jnp.float32)
     dists = z_vals[..., 1:] - z_vals[..., :-1]  # [B,H,W,S-1]
     rays_d_norm = jnp.linalg.norm(rays_d, axis=-1)  # [B,H,W]
     inf = jnp.broadcast_to(jnp.asarray(1e10, z_vals.dtype), rays_d_norm.shape)[..., None]
@@ -186,7 +191,7 @@ def _integrate(
     features = raw[..., 4 : 4 + fdim] if cfg.output_features else None
 
     if cfg.with_sdf:
-        beta = params["sigmoid_beta"]
+        beta = params["sigmoid_beta"].astype(jnp.float32)
         sigma = jax.nn.sigmoid(-sdf / beta) / beta
         alpha = 1.0 - jnp.exp(-sigma * dists[..., None])
     else:

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..ops.hash_encoder import HashGridSpec, hash_encode, init_hash_table
 from ..ops.sh_encoder import sh_encode, sh_output_dim
+from ..ops.transcendental import fast_sin
 from .init import film_siren_weight, linear_params, uniform
 
 Params = Dict[str, Any]
@@ -42,8 +43,12 @@ def apply_linear(
     p: Params, x: jnp.ndarray, std_init: float = 1.0, bias_init: float = 0.0
 ) -> jnp.ndarray:
     """SIREN-family LinearLayer: ``std*(xW + b) + bias_init``
-    (reference ``sdf_model.py:23-41``)."""
-    out = x @ p["w"]
+    (reference ``sdf_model.py:23-41``).
+
+    Inputs follow the parameter dtype, so casting the param tree to
+    bfloat16 moves the whole GEMM path onto the fast MXU pipeline.
+    """
+    out = x.astype(p["w"].dtype) @ p["w"]
     if "b" in p:
         out = out + p["b"]
     if std_init != 1.0:
@@ -73,10 +78,12 @@ def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarr
     gamma head: std 15, bias-init 30; beta head: std 0.25, bias-init 0
     (reference ``sdf_model.py:58-59``).  ``x`` is [B, P, C]; ``style`` [B, S].
     """
-    out = x @ p["w"] + p["b"]
+    out = x.astype(p["w"].dtype) @ p["w"] + p["b"]
     gamma = apply_linear(p["gamma"], style, std_init=15.0, bias_init=30.0)
     beta = apply_linear(p["beta"], style, std_init=0.25, bias_init=0.0)
-    return jnp.sin(gamma[:, None, :] * out + beta[:, None, :])
+    # fast_sin: polynomial sine (error < 1e-7) — XLA's range-reduced sin
+    # costs ~3x the GEMM on the VPU (see ops/transcendental.py)
+    return fast_sin(gamma[:, None, :] * out + beta[:, None, :])
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,7 @@ def apply_equal_linear(
 ) -> jnp.ndarray:
     in_dim = p["w"].shape[0]
     scale = (1.0 / math.sqrt(in_dim)) * lr_mul
-    out = x @ (p["w"] * scale)
+    out = x.astype(p["w"].dtype) @ (p["w"] * scale)
     if activate:
         return fused_leaky_relu(out, p["b"] * lr_mul)
     return out + p["b"] * lr_mul
@@ -76,7 +76,7 @@ def init_mapping_linear(
 
 
 def apply_mapping_linear(p: Params, x: jnp.ndarray, activate: bool = True) -> jnp.ndarray:
-    out = x @ p["w"]
+    out = x.astype(p["w"].dtype) @ p["w"]
     if activate:
         return fused_leaky_relu(out, p["b"], scale=1.0)
     return out + p["b"]
@@ -106,7 +106,7 @@ def apply_equal_conv2d(
     kh, kw, in_ch, _ = p["w"].shape
     scale = 1.0 / math.sqrt(in_ch * kh * kw)
     out = lax.conv_general_dilated(
-        x,
+        x.astype(p["w"].dtype),
         p["w"] * scale,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
@@ -168,6 +168,7 @@ def apply_modulated_conv(
     s, scale, demod = _mod_demod(p, cfg, style)
     w = p["w"] * scale
     k = cfg.kernel_size
+    x = x.astype(w.dtype)
 
     if cfg.upsample:
         xs = x * s[:, None, None, :]
