@@ -63,6 +63,9 @@ class RendererConfig:
     return_sdf: bool = False
     perturb: float = 1.0
     raw_noise_std: float = 0.0
+    # Inference fast path: fused Pallas SIREN kernel (ops/siren_kernel.py).
+    # Training keeps the XLA path (autodiff through eikonal/R1).
+    use_fused_kernel: bool = False
 
     @property
     def feature_out_size(self) -> int:
@@ -124,6 +127,14 @@ def _apply_network(
     flat_pts = pts.reshape(b, h * w * s, 3)
     flat_views = views.reshape(b, h * w * s, 3)
     net_cfg = cfg.network_config()
+    if cfg.use_fused_kernel and cfg.type == "sdf" and cfg.output_features:
+        from ..ops.siren_kernel import siren_field_fused
+
+        out = siren_field_fused(
+            params["network"], flat_pts, flat_views, style,
+            depth=cfg.depth, width=cfg.width,
+        )
+        return out.reshape(b, h, w, s, -1)
     if cfg.type == "ngp":
         out = apply_ngp_siren_generator(params["network"], net_cfg, flat_pts, flat_views, style)
     elif cfg.type == "fc":

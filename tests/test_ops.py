@@ -243,3 +243,38 @@ def test_hash_encode_grads():
     dx[3, 1] = eps
     fd = (f(jnp.asarray(x0 + dx)) - f(jnp.asarray(x0 - dx))) / (2 * eps)
     np.testing.assert_allclose(fd, float(gx[3, 1]), rtol=5e-2, atol=1e-3)
+
+
+# ------------------------------------------------------- fast_sin + pallas
+def test_fast_sin_accuracy():
+    from sdface_gan_tpu.ops.transcendental import fast_cos, fast_sin
+
+    x = jnp.linspace(-100.0, 100.0, 200001)
+    # f32 round-based range reduction loses ~1e-5 at |x|~100 (inherent to
+    # f32, not the polynomial)
+    np.testing.assert_allclose(
+        np.asarray(fast_sin(x)), np.sin(np.asarray(x)), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_cos(x)), np.cos(np.asarray(x)), atol=2e-5
+    )
+
+
+def test_fused_siren_kernel_matches_reference():
+    from sdface_gan_tpu.models.siren import (
+        SirenConfig,
+        apply_siren_generator,
+        init_siren_generator,
+    )
+    from sdface_gan_tpu.ops.siren_kernel import siren_field_fused
+
+    cfg = SirenConfig(depth=3, width=256, style_dim=64)
+    p = init_siren_generator(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 700, 3)) * 0.5
+    views = jax.random.normal(jax.random.PRNGKey(2), (2, 700, 3))
+    style = jax.random.normal(jax.random.PRNGKey(3), (2, 64))
+    ref = apply_siren_generator(p, cfg, pts, views, style)
+    out = siren_field_fused(p, pts, views, style, depth=3, width=256,
+                            interpret=True, dot_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
