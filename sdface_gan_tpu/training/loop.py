@@ -89,7 +89,6 @@ def _sample_grid(
     key = jax.random.PRNGKey(0)
     kz, km = jax.random.split(key)
     z = jax.random.normal(kz, (n_identities, hp.style_dim))
-    z = jnp.repeat(z, 8, axis=0)
     cams = generate_camera_params(
         gcfg.renderer.out_im_res,
         jax.random.PRNGKey(1),
@@ -101,13 +100,25 @@ def _sample_grid(
         fov_ang=hp.camera.fov,
         dist_radius=hp.camera.dist_radius,
     )
-    trunc = mean_latent(g_ema, gcfg, km)
-    out = generator_forward(
-        g_ema, gcfg, [z], cams.extrinsics, cams.focal, cams.near, cams.far,
-        truncation=truncation, truncation_latent=trunc,
-    )
-    img = out.rgb if out.rgb is not None else out.thumb_rgb
-    save_image_grid(np.asarray(img), path, nrow=8)
+    trunc = jax.jit(mean_latent, static_argnums=1)(g_ema, gcfg, km)
+
+    @jax.jit
+    def render_id(params, z8, extr, focal, near, far):
+        out = generator_forward(
+            params, gcfg, [z8], extr, focal, near, far,
+            truncation=truncation, truncation_latent=trunc,
+        )
+        return out.rgb if out.rgb is not None else out.thumb_rgb
+
+    rows = []
+    for i in range(n_identities):  # one identity (8 sweep views) at a time
+        sl = slice(8 * i, 8 * (i + 1))
+        z8 = jnp.repeat(z[i : i + 1], 8, axis=0)
+        rows.append(np.asarray(render_id(
+            g_ema, z8, cams.extrinsics[sl], cams.focal[sl], cams.near[sl],
+            cams.far[sl],
+        )))
+    save_image_grid(np.concatenate(rows, axis=0), path, nrow=8)
 
 
 def train_volume_renderer(

@@ -37,6 +37,7 @@ def parse_args(argv=None):
                    help="record-store dir (overrides the yaml data path)")
     p.add_argument("--iters", type=int, default=None,
                    help="override per-stage iteration count (for smoke runs)")
+    p.add_argument("--sphere_init_iters", type=int, default=10000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -89,7 +90,8 @@ def train_sdf(args, cfg) -> None:
         loader = DataLoader(ds, batch_size=hp.batch, seed=args.seed)
         train_volume_renderer(
             loader, gcfg, vrd_cfg, hp, out_base,
-            iters=args.iters or 200001, seed=args.seed, exit_after=exit_after,
+            iters=args.iters or 200001, sphere_init_iters=args.sphere_init_iters,
+            seed=args.seed, exit_after=exit_after,
         )
 
     if need_b:
