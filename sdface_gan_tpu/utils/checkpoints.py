@@ -38,16 +38,33 @@ def save_checkpoint(base_dir: str, name: str, tree: Dict[str, Any]) -> str:
     return path
 
 
+def _select_like(target: Any, loaded: Any) -> Any:
+    """Project a fully-restored tree onto the (possibly partial) target
+    structure — e.g. restoring only ``g_ema`` out of ``{g, d, g_ema}``
+    (the reference loads sub-state-dicts the same way, ``eval.py:71-77``)."""
+    if isinstance(target, dict):
+        return {k: _select_like(v, loaded[k]) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        seq = [ _select_like(t, loaded[i]) for i, t in enumerate(target) ]
+        return type(target)(seq) if isinstance(target, tuple) else seq
+    return loaded
+
+
 def load_checkpoint(
     base_dir: str, name: str, target: Optional[Dict[str, Any]] = None
 ) -> Dict[str, Any]:
     """Load a checkpoint; ``target`` (matching pytree of arrays) restores
-    exact dtypes/shapes when given."""
+    exact dtypes/shapes, and may be a SUBTREE of what was saved (partial
+    restore)."""
     path = _path(base_dir, name)
     with ocp.StandardCheckpointer() as ckptr:
-        if target is not None:
+        if target is None:
+            return ckptr.restore(path)
+        try:
             return ckptr.restore(path, target)
-        return ckptr.restore(path)
+        except (ValueError, KeyError):
+            full = ckptr.restore(path)
+            return _select_like(target, full)
 
 
 def checkpoint_exists(base_dir: str, name: str) -> bool:
