@@ -71,3 +71,47 @@ class MultiResolutionDataset:
 
     def close(self) -> None:
         self.reader.close()
+
+
+class LSUNClass:
+    """LSUN-style dataset over the record store (reference ``LSUNClass``,
+    ``im2scene/data/datasets.py:20-101``, which reads LSUN LMDB; LMDB is
+    not in this image, so LSUN archives are converted with
+    ``prepare_data.py`` — records keyed by zero-padded index).  Returns
+    center-cropped, resized images in [0, 1] (or [-1, 1] with
+    ``use_tanh_range``), with retry-on-corrupt-record."""
+
+    def __init__(self, path: str, size: int = 64, use_tanh_range: bool = False,
+                 hflip: bool = True, key_width: int = 5, resolution_prefix: str = ""):
+        self.reader = RecordReader(path)
+        length = self.reader.get("length")
+        self.length = int(length.decode()) if length else len(self.reader)
+        self.size = size
+        self.use_tanh_range = use_tanh_range
+        self.hflip = hflip
+        self.key_width = key_width
+        self.prefix = resolution_prefix
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        for _ in range(10):
+            key = f"{self.prefix}{str(index).zfill(self.key_width)}"
+            data = self.reader.get(key)
+            if data is not None:
+                break
+            index = int(rng.integers(self.length))
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        w, h = img.size
+        crop = min(w, h)
+        img = img.crop(((w - crop) // 2, (h - crop) // 2,
+                        (w + crop) // 2, (h + crop) // 2))
+        img = img.resize((self.size, self.size), Image.LANCZOS)
+        if self.hflip and rng.random() > 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if self.use_tanh_range:
+            arr = arr * 2.0 - 1.0
+        return arr

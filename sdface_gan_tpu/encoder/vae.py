@@ -85,6 +85,52 @@ def apply_vae_encoder(
     return mu, logvar
 
 
+@dataclass(frozen=True)
+class VAEDecoderConfig:
+    z_size: int = 512
+    size: int = 256  # base channel width (reference Decoder ``size`` arg)
+
+
+def init_vae_decoder(key: jax.Array, cfg: VAEDecoderConfig) -> Params:
+    """VAE image decoder (reference ``autoencoder.py:86-110``): fc to an
+    8x8 map, three transpose-conv+BN+ReLU upsampling blocks, 5x5 conv +
+    tanh head."""
+    keys = jax.random.split(key, 6)
+    s = cfg.size
+    chans = [(s, s), (s, s // 2), (s // 2, s // 8)]
+    return {
+        "fc": _linear(keys[0], cfg.z_size, 8 * 8 * s, bias=False),
+        "fc_bn": _bn_params(8 * 8 * s),
+        "blocks": [
+            {"conv": _torch_conv(k, oc, ic, 5, bias=False), "bn": _bn_params(oc)}
+            for k, (ic, oc) in zip(keys[1:4], chans)
+        ],
+        "head": _torch_conv(keys[4], s // 8, 3, 5),
+    }
+
+
+def apply_vae_decoder(p: Params, cfg: VAEDecoderConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """z [B, z_size] -> image [B, 64, 64, 3] in [-1, 1]."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    h = z @ p["fc"]["w"]
+    h = jax.nn.relu(_batch_norm(p["fc_bn"], h, axes=(0,)))
+    x = h.reshape(z.shape[0], 8, 8, cfg.size)
+    for block in p["blocks"]:
+        # ConvTranspose2d(k5, s2, p2, output_padding=1): H -> 2H
+        w = block["conv"]["w"]  # stored [k,k,out,in] by _torch_conv(oc, ic)
+        x = lax.conv_general_dilated(
+            x, jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2),
+            window_strides=(1, 1), padding=((2, 3), (2, 3)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.relu(_batch_norm(block["bn"], x))
+    x = _conv(p["head"], x, padding=2)
+    return jnp.tanh(x)
+
+
 def reparameterize(key: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     """z = mu + eps * std (reference ``training_utils.py:1016-1017``)."""
     std = jnp.exp(0.5 * logvar)

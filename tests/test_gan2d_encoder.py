@@ -116,3 +116,33 @@ def test_loss_utils_bundle():
     out = lu(x, y)
     assert "l2" in out and "loss" in out
     np.testing.assert_allclose(float(out["loss"]), float(out["l2"]), rtol=1e-6)
+
+
+def test_vae_decoder_shapes():
+    from sdface_gan_tpu.encoder.vae import (
+        VAEDecoderConfig,
+        apply_vae_decoder,
+        init_vae_decoder,
+    )
+
+    cfg = VAEDecoderConfig(z_size=32, size=64)
+    p = init_vae_decoder(KEY, cfg)
+    z = jax.random.normal(KEY, (2, 32))
+    img = apply_vae_decoder(p, cfg, z)
+    assert img.shape == (2, 64, 64, 3)
+    assert float(img.min()) >= -1.0 and float(img.max()) <= 1.0
+
+
+def test_resnet_block_fc():
+    from sdface_gan_tpu.models.layers import (
+        apply_resnet_block_fc,
+        init_resnet_block_fc,
+    )
+
+    p = init_resnet_block_fc(KEY, 16, 24)
+    x = jax.random.normal(KEY, (5, 16))
+    out = apply_resnet_block_fc(p, x)
+    assert out.shape == (5, 24)
+    # zero-init second fc => output equals the shortcut projection + bias
+    expected = x @ p["shortcut"]["w"] + p["fc_1"]["b"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
