@@ -136,6 +136,20 @@ def train_giraffe(args: Any, cfg: Any) -> None:
     d_step = jax.jit(make_giraffe_d_step(gcfg, dcfg, hp, d_tx))
     g_step = jax.jit(make_giraffe_g_step(gcfg, dcfg, hp, g_tx))
 
+    use_vae = bool(getattr(args, "vae", 0))
+    if use_vae:
+        import optax
+
+        from ..encoder import VAEEncoderConfig, init_vae_encoder
+        from .trainer import make_giraffe_encoder_step
+
+        ecfg = VAEEncoderConfig(img_size=dcfg.img_size, z_size=2 * gcfg.z_dim)
+        key, ke = jax.random.split(key)
+        e = init_vae_encoder(ke, ecfg)
+        e_tx = optax.adam(5e-4)
+        e_state = e_tx.init(e)
+        e_step = jax.jit(make_giraffe_encoder_step(gcfg, dcfg, hp, e_tx))
+
     max_it = tr.get("max_it", 1000000)
     exit_after = getattr(args, "exit_after", -1)
     t0 = time.time()
@@ -143,9 +157,12 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         it += 1
         batch = next(loader)  # [B, H, W, 3] in [0,1] (or [-1,1] tanh)
         x_real = jnp.asarray(batch)
-        key, k1, k2 = jax.random.split(key, 3)
+        key, k1, k2, k3 = jax.random.split(key, 4)
         d, d_state, dm = d_step(g, d, d_state, k1, x_real)
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
+        if use_vae:
+            e, e_state, em = e_step(e, g, d, e_state, k3, x_real)
+            gm = {**gm, **em}
 
         if it % tr.get("print_every", 10) == 0:
             logger.log(it, {**dm, **gm})

@@ -94,6 +94,53 @@ def make_giraffe_d_step(
     return step
 
 
+def make_giraffe_encoder_step(
+    gcfg: GiraffeConfig,
+    dcfg: DCDiscConfig,
+    hp: GiraffeTrainHParams,
+    e_tx: optax.GradientTransformation,
+):
+    """VAE-encoder step (reference ``train_step_encoder``,
+    ``giraffe/training.py:144-191``): encode real images -> reparameterized
+    z -> generator; loss = sum KL + sum 0.5*(D_feat(real) - D_feat(fake))^2
+    (discriminator feature matching)."""
+    from ..encoder import VAEEncoderConfig, apply_vae_encoder, reparameterize
+
+    ecfg = VAEEncoderConfig(
+        img_size=dcfg.img_size, z_size=2 * gcfg.z_dim
+    )  # encoder emits [z_shape | z_app] (reference generator.py:101-106)
+
+    def step(e_params, g_params, d_params, e_opt_state, key, x_real):
+        def loss_fn(ep):
+            kz, kg = jax.random.split(key)
+            mu, logvar = apply_vae_encoder(ep, ecfg, x_real)
+            z = reparameterize(kz, mu, logvar)
+            codes_rand = jax.random.split(kg, 1)[0]
+            from .generator import sample_latent_codes
+
+            base = sample_latent_codes(codes_rand, gcfg, x_real.shape[0])
+            codes = base._replace(
+                z_shape_obj=z[:, None, : gcfg.z_dim],
+                z_app_obj=z[:, None, gcfg.z_dim :],
+            )
+            x_fake = giraffe_forward(
+                g_params, gcfg, key=kg, latent_codes=codes, mode="training"
+            )
+            _, feat_fake = apply_dc_discriminator(d_params, dcfg, x_fake)
+            _, feat_real = apply_dc_discriminator(d_params, dcfg, x_real)
+            kl = -0.5 * jnp.sum(-jnp.exp(logvar) - mu**2 + logvar + 1.0, axis=1)
+            mse = jnp.sum(0.5 * (feat_real - feat_fake) ** 2, axis=1)
+            loss = jnp.sum(kl) + jnp.sum(mse)
+            return loss, {"encoder": loss, "e_kl": jnp.sum(kl)}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(e_params)
+        updates, e_opt_state = e_tx.update(grads, e_opt_state, e_params)
+        e_params = optax.apply_updates(e_params, updates)
+        return e_params, e_opt_state, metrics
+
+    return step
+
+
 def make_giraffe_g_step(
     gcfg: GiraffeConfig,
     dcfg: DCDiscConfig,

@@ -205,3 +205,23 @@ def test_resnet_discriminator():
     x = jax.random.uniform(KEY, (2, 32, 32, 3))
     out = apply_resnet_discriminator(p, cfg, x)
     assert out.shape == (2, 1)
+
+
+def test_giraffe_encoder_step():
+    import optax
+
+    from sdface_gan_tpu.encoder import VAEEncoderConfig, init_vae_encoder
+    from sdface_gan_tpu.giraffe.trainer import make_giraffe_encoder_step
+
+    p = init_giraffe(KEY, TINY)
+    dcfg = DCDiscConfig(img_size=8, n_feat=32)
+    d = init_dc_discriminator(jax.random.PRNGKey(1), dcfg)
+    hp = GiraffeTrainHParams(batch_size=2)
+    ecfg = VAEEncoderConfig(img_size=8, z_size=2 * TINY.z_dim)
+    e = init_vae_encoder(jax.random.PRNGKey(2), ecfg)
+    e_tx = optax.adam(5e-4)
+    e_state = e_tx.init(e)
+    step = jax.jit(make_giraffe_encoder_step(TINY, dcfg, hp, e_tx))
+    real = jax.random.uniform(KEY, (2, 8, 8, 3))
+    e, e_state, m = step(e, p, d, e_state, jax.random.PRNGKey(3), real)
+    assert np.isfinite(float(m["encoder"]))

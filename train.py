@@ -116,9 +116,15 @@ def train_sdf(args, cfg) -> None:
 
 
 def train_giraffe_family(args, cfg) -> None:
-    from sdface_gan_tpu.giraffe.train_loop import train_giraffe
+    method = cfg.get("method", "giraffe")
+    if method == "gan2d":
+        from sdface_gan_tpu.gan2d.train_loop import train_gan2d
 
-    train_giraffe(args, cfg)
+        train_gan2d(args, cfg)
+    else:
+        from sdface_gan_tpu.giraffe.train_loop import train_giraffe
+
+        train_giraffe(args, cfg)
 
 
 if __name__ == "__main__":
