@@ -16,6 +16,15 @@ TPU-native equivalent of the reference CUDA extension
 * Out-of-bound inputs (outside [0,1]) produce zeros, matching
   ``gridencoder.cu:110-135``.
 
+Performance note (measured, v5e): TPU random-gather throughput is
+~1.2-1.7e8 lookups/s regardless of table size or row width, so the
+16-level x 8-corner encoding of 393k points (50M lookups) costs ~300 ms —
+the XLA gather primitive, not this formulation, is the bound (a fused
+single-gather variant measured the same).  The hash table's random access
+pattern is fundamentally GPU-cache-shaped; on TPU prefer the pure-SDF
+SIREN renderer (no gather) for throughput-critical paths, or lower
+``num_levels``/``desired_resolution``.
+
 The hash function is the reference's prime-XOR
 (``gridencoder.cu:51-64``): ``idx = (x*1 ^ y*2654435761 ^ z*805459861)``
 in wrapping uint32 arithmetic, modulo the level's (8-rounded) table size.
