@@ -66,6 +66,11 @@ class RendererConfig:
     # Inference fast path: fused Pallas SIREN kernel (ops/siren_kernel.py).
     # Training keeps the XLA path (autodiff through eikonal/R1).
     use_fused_kernel: bool = False
+    # Rematerialize the field network in backward passes: the 9-layer
+    # [B*H*W*S, width] activation chain is ~1 GB/layer at training shapes,
+    # and the eikonal VJP doubles it — without remat the stage-A G step
+    # exceeds HBM.  Trades ~1 extra forward for O(layers) less memory.
+    remat: bool = True
 
     @property
     def feature_out_size(self) -> int:
@@ -135,12 +140,17 @@ def _apply_network(
             depth=cfg.depth, width=cfg.width,
         )
         return out.reshape(b, h, w, s, -1)
-    if cfg.type == "ngp":
-        out = apply_ngp_siren_generator(params["network"], net_cfg, flat_pts, flat_views, style)
-    elif cfg.type == "fc":
-        out = apply_fc_generator(params["network"], net_cfg, flat_pts, flat_views, style)
-    else:
-        out = apply_siren_generator(params["network"], net_cfg, flat_pts, flat_views, style)
+
+    def net(net_params, fp, fv, st):
+        if cfg.type == "ngp":
+            return apply_ngp_siren_generator(net_params, net_cfg, fp, fv, st)
+        if cfg.type == "fc":
+            return apply_fc_generator(net_params, net_cfg, fp, fv, st)
+        return apply_siren_generator(net_params, net_cfg, fp, fv, st)
+
+    if cfg.remat:
+        net = jax.checkpoint(net)
+    out = net(params["network"], flat_pts, flat_views, style)
     return out.reshape(b, h, w, s, -1)
 
 
