@@ -24,7 +24,7 @@ import numpy as np
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "_native.so"
-_SOURCES = ["recordstore.cpp", "marching_cubes.cpp"]
+_SOURCES = ["recordstore.cpp", "marching_cubes.cpp", "rasterizer.cpp"]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -85,6 +85,13 @@ def lib() -> ctypes.CDLL:
         ]
         L.mc_free.restype = None
         L.mc_free.argtypes = [ctypes.c_void_p]
+        L.raster_mesh.restype = ctypes.c_int64
+        L.raster_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
     return _lib
 
 
@@ -146,6 +153,34 @@ class RecordReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def raster_mesh(
+    verts_px: np.ndarray,
+    faces: np.ndarray,
+    vert_attr: np.ndarray,
+    h: int,
+    w: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Z-buffer rasterize a mesh carrying one scalar attribute per vertex.
+
+    verts_px: [V, 3] pre-projected (x_pix, y_pix, depth>0); faces [F, 3];
+    vert_attr [V].  Returns (attr [h, w], depth [h, w] with 1e30 = empty).
+    """
+    v = np.ascontiguousarray(verts_px, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    a = np.ascontiguousarray(vert_attr, dtype=np.float32)
+    attr = np.zeros((h, w), dtype=np.float32)
+    depth = np.zeros((h, w), dtype=np.float32)
+    lib().raster_mesh(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(v), len(f), h, w,
+        attr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return attr, depth
 
 
 def marching_cubes(

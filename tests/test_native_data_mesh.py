@@ -151,3 +151,61 @@ def test_xyz2mesh_grid():
     mesh = xyz2mesh(xyz)
     assert mesh.verts.shape == (64, 3)
     assert mesh.faces.shape[1] == 3 and len(mesh.faces) >= 2 * (h - 1) * (w - 1) - 2
+
+
+# ------------------------------------------------------ noise projection
+def test_rasterizer_covers_triangle():
+    from sdface_gan_tpu.native import raster_mesh
+
+    verts = np.array([[2.0, 2.0, 1.0], [14.0, 2.0, 1.0], [2.0, 14.0, 1.0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    attr, depth = raster_mesh(verts, faces, np.array([1.0, 2.0, 3.0], np.float32),
+                              16, 16)
+    valid = depth < 1e29
+    assert 40 < valid.sum() < 100  # half of a 12x12 bbox
+    # attribute interpolates within the vertex range
+    vals = attr[valid]
+    assert vals.min() >= 1.0 - 1e-4 and vals.max() <= 3.0 + 1e-4
+    # nearer triangle wins the z-buffer
+    verts2 = np.vstack([verts, verts * np.array([1, 1, 0.5])])
+    faces2 = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    attr2, depth2 = raster_mesh(verts2, faces2,
+                                np.array([1, 2, 3, 9, 9, 9], np.float32), 16, 16)
+    assert np.allclose(attr2[depth2 < 1e29], 9.0)
+
+
+def test_noise_projection_anchored_to_surface():
+    from sdface_gan_tpu.geometry.mesh import Mesh
+    from sdface_gan_tpu.models.noise_projection import NoiseProjector, subdivide
+    from sdface_gan_tpu.geometry.cameras import generate_camera_params
+    import jax.numpy as jnp
+
+    # sphere mesh at the face-volume scale (world radius ~0.1)
+    n = 24
+    lin = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    from sdface_gan_tpu.native import marching_cubes
+
+    verts, faces = marching_cubes(np.sqrt(x**2 + y**2 + z**2) - 0.6, 0.0)
+    verts = (verts / (n - 1) * 2 - 1) * 0.1
+    mesh = Mesh(verts=verts, faces=faces.astype(np.int32))
+
+    proj = NoiseProjector(mesh, seed=0)
+    cams = generate_camera_params(64, None, batch=1,
+                                  locations=jnp.zeros((1, 2)))
+    extr = np.asarray(cams.extrinsics[0])
+    n1 = proj.project(extr, 64)
+    n2 = proj.project(extr, 64)
+    # deterministic for the same camera
+    np.testing.assert_allclose(n1, n2)
+    assert n1.shape == (64, 64, 1)
+    # the sphere should cover a central region of the frame
+    center = n1[24:40, 24:40, 0]
+    edge = n1[:4, :4, 0]
+    assert np.std(center) > 0  # projected vertex noise present
+
+    # subdivision quadruples faces
+    v2, f2 = subdivide(mesh.verts, mesh.faces)
+    assert len(f2) == 4 * len(mesh.faces)
+    assert len(v2) > len(mesh.verts)
