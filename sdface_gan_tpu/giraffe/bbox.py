@@ -61,13 +61,19 @@ def _pairwise_free(cfg: BBoxConfig, s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarr
 
 
 def sample_transformations(
-    key: jax.Array, cfg: BBoxConfig, batch_size: int, max_resample: int = 8
+    key: jax.Array,
+    cfg: BBoxConfig,
+    batch_size: int,
+    max_resample: int = 8,
+    prior: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Random (s [B,n,3], t [B,n,3], R [B,n,3,3]) (reference
     ``get_random_offset``/``forward``, ``bounding_box_generator.py:120-161``).
 
-    Collision handling re-samples translations a bounded number of times
-    (static unroll) instead of the reference's unbounded while loop.
+    ``prior`` ([M, n_boxes, 3], the CLEVR location-prior coordinates
+    pre-scaled by 0.23788) replaces uniform translation sampling when
+    given.  Collision handling re-samples translations a bounded number
+    of times (static unroll) instead of the reference's unbounded loop.
     """
     ks, kt, kr = jax.random.split(key, 3)
     n = cfg.n_boxes
@@ -82,8 +88,12 @@ def sample_transformations(
         s_rand = jax.random.uniform(ks, (batch_size, n, 3))
     s = smin + s_rand * srange
 
-    t = tmin + jax.random.uniform(kt, (batch_size, n, 3)) * trange
-    if cfg.check_collision:
+    if prior is not None:
+        pick = jax.random.randint(kt, (batch_size,), 0, prior.shape[0])
+        t = prior[pick]
+    else:
+        t = tmin + jax.random.uniform(kt, (batch_size, n, 3)) * trange
+    if cfg.check_collision and prior is None:
         for i in range(max_resample):
             kt, sub = jax.random.split(kt)
             free = _pairwise_free(cfg, s, t)

@@ -59,6 +59,7 @@ class GiraffeConfig:
     fov: float = 49.13
     bg_rotation_range: Tuple[float, float] = (0.0, 0.0)
     use_max_composition: bool = False
+    sample_object_existance: bool = False  # CLEVR-style object dropout
     small_decoder: bool = False
     decoder: DecoderConfig = field(default_factory=lambda: DecoderConfig(z_dim=256))
     small: SmallDecoderConfig = field(default_factory=lambda: SmallDecoderConfig(z_dim=256))
@@ -142,6 +143,26 @@ def sample_bg_rotation(key: jax.Array, cfg: GiraffeConfig, batch_size: int) -> j
     return jnp.tile(r[None], (batch_size, 1, 1))
 
 
+def sample_object_existence(
+    key: jax.Array, cfg: GiraffeConfig, batch_size: int
+) -> jnp.ndarray:
+    """Per-sample object-existence mask [B, n_boxes] (reference
+    ``get_object_existance``, ``generator.py:382-415`` — CLEVR-2345
+    hard-coded count probabilities; other box counts fall back to uniform
+    over 2..n).  Runs inside jit (categorical + top-k selection)."""
+    n = cfg.n_boxes
+    kc, ks = jax.random.split(key)
+    if n == 5:
+        probs = jnp.array([0.19456788, 0.24355003, 0.25269547, 0.30918661])
+    else:
+        probs = jnp.ones(max(n - 1, 1)) / max(n - 1, 1)
+    counts = 2 + jax.random.categorical(kc, jnp.log(probs), shape=(batch_size,))
+    counts = jnp.clip(counts, 0, n)
+    scores = jax.random.uniform(ks, (batch_size, n))
+    rank = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+    return (rank < counts[:, None]).astype(jnp.float32)
+
+
 def _add_noise_to_interval(di: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Stratified jitter (reference ``add_noise_to_interval``,
     ``generator.py:292-298``)."""
@@ -201,8 +222,11 @@ def volume_render_image(
     not_render_background: bool = False,
     only_render_background: bool = False,
     return_alpha_map: bool = False,
+    object_mask: Optional[jnp.ndarray] = None,
 ):
     """Reference ``volume_render_image`` (``generator.py:417-542``).
+    ``object_mask`` [B, n_boxes] in {0,1} zeroes the density of masked
+    objects (object-existence sampling / add-objects render program).
 
     Returns the feature map [B, res, res, F] (NHWC), plus per-object alpha
     maps when ``return_alpha_map``.
@@ -249,6 +273,8 @@ def volume_render_image(
         padd = 0.1
         inside = jnp.all((p_flat <= 1.0 + padd) & (p_flat >= -1.0 - padd), axis=-1)
         sigma_i = jnp.where(inside, sigma_i, 0.0)
+        if object_mask is not None:
+            sigma_i = sigma_i * object_mask[:, i][:, None]
         sigmas.append(sigma_i.reshape(batch_size, n_points, n_steps))
         feats.append(feat_i.reshape(batch_size, n_points, n_steps, -1))
 
@@ -302,14 +328,18 @@ def giraffe_forward(
     not_render_background: bool = False,
     only_render_background: bool = False,
     return_alpha_map: bool = False,
+    object_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full generator forward (reference ``Generator.forward``,
     ``generator.py:89-137``).  Returns [B, img_size, img_size, 3] in [0, 1]
     (or the alpha map when requested)."""
     if key is not None:
-        key, k1, k2, k3, k4, krender = jax.random.split(key, 6)
+        key, k1, k2, k3, k4, k5, krender = jax.random.split(key, 7)
     else:
-        k1 = k2 = k3 = k4 = krender = None
+        k1 = k2 = k3 = k4 = k5 = krender = None
+    if object_mask is None and cfg.sample_object_existance and k5 is not None:
+        b = latent_codes.z_shape_obj.shape[0] if latent_codes is not None else batch_size
+        object_mask = sample_object_existence(k5, cfg, b)
     if latent_codes is None:
         latent_codes = sample_latent_codes(k1, cfg, batch_size)
     batch_size = latent_codes.z_shape_obj.shape[0]
@@ -329,6 +359,7 @@ def giraffe_forward(
             params, cfg, latent_codes, camera_matrices, transformations,
             bg_rotation, key=krender, mode=mode, return_alpha_map=True,
             not_render_background=not_render_background,
+            object_mask=object_mask,
         )
         return alpha
 
@@ -337,6 +368,7 @@ def giraffe_forward(
         bg_rotation, key=krender, mode=mode,
         not_render_background=not_render_background,
         only_render_background=only_render_background,
+        object_mask=object_mask,
     )
     if cfg.neural_renderer is not None and "neural_renderer" in params:
         return apply_neural_renderer(params["neural_renderer"], cfg.neural_renderer, feat_map)

@@ -34,6 +34,7 @@ PROGRAMS = (
     "interpolate_app",
     "interpolate_shape",
     "render_camera_elevation",
+    "render_add_objects",
 )
 
 
@@ -99,6 +100,26 @@ def render_program(
         elif program == "render_camera_elevation":
             step_cams = fixed_camera(cfg, n_samples, val_v=t)
             trans = fixed_transformations(cfg.bbox, n_samples)
+        elif program == "render_add_objects":
+            # reveal one more object per segment (reference CLEVR/cars
+            # add-object programs): mask boxes beyond the current count
+            trans = fixed_transformations(
+                cfg.bbox, n_samples,
+                val_s=[[0.5] * 3] * n_boxes,
+                val_t=[[(j + 1) / (n_boxes + 1), 0.5, 0.5] for j in range(n_boxes)],
+                val_r=[0.0] * n_boxes,
+            )
+            n_visible = 1 + int(t * (n_boxes - 1) + 1e-6) if n_boxes > 1 else 1
+            mask = jnp.tile(
+                (jnp.arange(n_boxes) < n_visible).astype(jnp.float32)[None],
+                (n_samples, 1),
+            )
+            img = giraffe_forward(
+                params, cfg, latent_codes=step_codes, camera_matrices=step_cams,
+                transformations=trans, mode="eval", object_mask=mask,
+            )
+            frames.append(np.asarray(img) * 2.0 - 1.0)
+            continue
         frames.append(_render(params, cfg, step_codes, step_cams, trans))
 
     # contact-sheet grid: samples x steps

@@ -62,11 +62,36 @@ def decoder_only(tx: optax.GradientTransformation, params: Any) -> optax.Gradien
     )
 
 
+def gradient_centralization() -> optax.GradientTransformation:
+    """GC: subtract the mean over all non-output axes from conv/linear
+    gradients (reference ``encoder/ranger.py`` applies it to >1-D grads)."""
+
+    def update(updates, state, params=None):
+        del params
+
+        def center(g):
+            if g.ndim > 1:
+                axes = tuple(range(1, g.ndim))
+                return g - g.mean(axis=axes, keepdims=True)
+            return g
+
+        import jax
+
+        return jax.tree_util.tree_map(center, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
+def ranger(lr: float = 1e-4, sync_period: int = 6, slow_step_size: float = 0.5):
+    """Ranger = gradient centralization + RAdam + Lookahead (reference
+    ``encoder/ranger.py``, 163 LoC; defaults k=6, alpha=0.5)."""
+    inner = optax.chain(gradient_centralization(), optax.radam(lr))
+    return optax.lookahead(inner, sync_period=sync_period, slow_step_size=slow_step_size)
+
+
 def encoder_optimizer(vae: bool = True) -> optax.GradientTransformation:
     """Encoder-stage optimizer (reference ``config.py:186-191``): Adam 5e-4
-    for the VAE path; a Ranger-equivalent (RAdam + Lookahead, matching
-    ``encoder/ranger.py``) otherwise."""
+    for the VAE path; Ranger otherwise."""
     if vae:
         return optax.adam(5e-4)
-    # Ranger = RAdam + Lookahead (k=6, alpha=0.5), reference defaults.
-    return optax.lookahead(optax.radam(1e-4), sync_period=6, slow_step_size=0.5)
+    return ranger(1e-4)
