@@ -1,4 +1,5 @@
 from .fused_act import fused_leaky_relu
+from .transcendental import fast_cos, fast_sin
 from .upfirdn2d import upfirdn2d, upsample2d, downsample2d, blur, make_kernel
 from .sh_encoder import sh_encode, sh_output_dim
 from .hash_encoder import (
@@ -10,6 +11,8 @@ from .hash_encoder import (
 
 __all__ = [
     "fused_leaky_relu",
+    "fast_sin",
+    "fast_cos",
     "upfirdn2d",
     "upsample2d",
     "downsample2d",

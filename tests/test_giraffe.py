@@ -225,3 +225,23 @@ def test_giraffe_encoder_step():
     real = jax.random.uniform(KEY, (2, 8, 8, 3))
     e, e_state, m = step(e, p, d, e_state, jax.random.PRNGKey(3), real)
     assert np.isfinite(float(m["encoder"]))
+
+
+def test_render_programs_and_mesh_extraction(tmp_path):
+    from sdface_gan_tpu.giraffe.rendering import (
+        PROGRAMS,
+        extract_giraffe_mesh,
+        render_program,
+    )
+
+    p = init_giraffe(KEY, TINY)
+    frames = render_program(p, TINY, "object_rotation", str(tmp_path),
+                            n_samples=2, n_steps=3, save_video=False)
+    assert len(frames) == 3 and frames[0].shape == (2, 8, 8, 3)
+    assert (tmp_path / "object_rotation.png").exists()
+    frames = render_program(p, TINY, "render_add_objects", str(tmp_path),
+                            n_samples=2, n_steps=2, save_video=False)
+    assert len(frames) == 2
+
+    mesh = extract_giraffe_mesh(p, TINY, resolution=24, level=0.001)
+    assert mesh.verts.shape[1] == 3 and mesh.faces.shape[1] == 3
