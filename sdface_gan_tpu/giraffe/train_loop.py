@@ -176,7 +176,7 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         if it % tr.get("validate_every", 10000) == 0:
             key, sub = jax.random.split(key)
             fid = evaluate_fid(
-                g_ema, gcfg, tr.get("n_eval_images", 10000) // 10, hp.batch_size,
+                g_ema, gcfg, tr.get("n_eval_images", 10000), hp.batch_size,
                 cfg["data"].get("fid_file"), sub,
             )
             if fid is not None:
