@@ -188,8 +188,9 @@ def train_volume_renderer(
         # fresh optimizer state for the adversarial phase
         g_state = g_tx.init(g)
 
-    d_step = jax.jit(make_stage_a_d_step(gcfg, dcfg, hp, d_tx))
-    g_step = jax.jit(make_stage_a_g_step(gcfg, dcfg, hp, g_tx))
+    # donate D/G params + opt states: halves peak HBM for the updates
+    d_step = jax.jit(make_stage_a_d_step(gcfg, dcfg, hp, d_tx), donate_argnums=(1, 2))
+    g_step = jax.jit(make_stage_a_g_step(gcfg, dcfg, hp, g_tx), donate_argnums=(0, 2, 3))
 
     data = iter(loader)
     t_start = time.time()
@@ -277,10 +278,10 @@ def train_full_pipeline(
         g_ema = jax.tree_util.tree_map(jnp.copy, g)
         mean_path_length = jnp.zeros(())
 
-    d_step_plain = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, False))
-    d_step_reg = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, True))
-    g_step = jax.jit(make_stage_b_g_step(gcfg, dcfg, hp, g_tx))
-    path_step = jax.jit(make_stage_b_path_step(gcfg, hp, g_tx))
+    d_step_plain = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, False), donate_argnums=(1, 2))
+    d_step_reg = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, True), donate_argnums=(1, 2))
+    g_step = jax.jit(make_stage_b_g_step(gcfg, dcfg, hp, g_tx), donate_argnums=(0, 2, 3))
+    path_step = jax.jit(make_stage_b_path_step(gcfg, hp, g_tx), donate_argnums=(0, 1))
 
     data = iter(loader)
     t_start = time.time()
