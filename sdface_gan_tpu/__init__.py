@@ -27,4 +27,4 @@ Package layout:
   evaluation/  InceptionV3 FID/KID in JAX
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

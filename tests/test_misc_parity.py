@@ -80,3 +80,23 @@ def test_sdf_model_container():
     from sdface_gan_tpu.models.discriminator import VolumeRenderDiscConfig
 
     assert isinstance(m.dcfg, VolumeRenderDiscConfig)
+
+
+def test_serving_sampler():
+    from sdface_gan_tpu.models.generator import GeneratorConfig, init_generator
+    from sdface_gan_tpu.models.renderer import RendererConfig
+    from sdface_gan_tpu.serving import SDFaceSampler
+
+    cfg = GeneratorConfig(
+        size=16, style_dim=16, full_pipeline=False,
+        renderer=RendererConfig(type="sdf", out_im_res=8, n_samples=4,
+                                style_dim=16, width=16, depth=1),
+    )
+    params = init_generator(KEY, cfg)
+    sampler = SDFaceSampler(params, cfg, batch=2, use_fused_kernel=False)
+    imgs = sampler.sample(seed=1)
+    assert imgs.shape == (2, 8, 8, 3)
+    fixed = sampler.sample(seed=1, azim=0.2, elev=0.1)
+    assert fixed.shape == (2, 8, 8, 3)
+    # same seed + viewpoint => deterministic
+    np.testing.assert_allclose(fixed, sampler.sample(seed=1, azim=0.2, elev=0.1))
