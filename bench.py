@@ -29,6 +29,10 @@ ITERS = 10
 
 
 def main() -> None:
+    from sdface_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from __graft_entry__ import entry

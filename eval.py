@@ -37,6 +37,10 @@ def parse_args(argv=None):
 def main(argv=None) -> None:
     args = parse_args(argv)
 
+    from sdface_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -86,7 +90,8 @@ def main(argv=None) -> None:
         )[:b]
         for i in range(b):
             save_image(imgs[i], os.path.join(eval_dir, f"{n_done + i:07d}.png"))
-        fakes.append(imgs)
+        # keep fp16 on host: 5000 x 256^2 images would be ~4 GB in fp32
+        fakes.append(imgs.astype(np.float16))
         n_done += b
     dt = time.time() - t0
     print(f"generated {n_done} images in {dt:.1f}s "

@@ -34,6 +34,10 @@ def parse_args(argv=None):
 def main(argv=None) -> None:
     args = parse_args(argv)
 
+    from sdface_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

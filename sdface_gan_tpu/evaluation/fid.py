@@ -32,7 +32,8 @@ def compute_activations(
     n_pending = 0
 
     def flush(chunk: np.ndarray) -> None:
-        outs.append(np.asarray(fn(params, jnp.asarray(chunk))))
+        # accept fp16 host buffers (eval.py stores them to halve RAM)
+        outs.append(np.asarray(fn(params, jnp.asarray(chunk, dtype=jnp.float32))))
 
     for arr in images:
         pending.append(np.asarray(arr))

@@ -72,9 +72,10 @@ def g_path_regularize(
     def proj(lat: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
         return jnp.sum(img_fn(lat) * noise)
 
-    probe_img = img_fn(latents)
-    h, w = probe_img.shape[1], probe_img.shape[2]
-    noise = jax.random.normal(key, probe_img.shape) / math.sqrt(h * w)
+    # shape only — eval_shape avoids paying an extra generator forward
+    img_shape = jax.eval_shape(img_fn, latents).shape
+    h, w = img_shape[1], img_shape[2]
+    noise = jax.random.normal(key, img_shape) / math.sqrt(h * w)
     grad = jax.grad(proj)(latents, noise)
     path_lengths = jnp.sqrt(jnp.mean(jnp.sum(grad**2, axis=2), axis=1))
     path_mean = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)

@@ -46,6 +46,10 @@ def parse_args(argv=None):
 def main(argv=None) -> None:
     args = parse_args(argv)
 
+    from sdface_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sdface_gan_tpu.config import load_config
     from sdface_gan_tpu.config.yaml_config import default_config_path
 
