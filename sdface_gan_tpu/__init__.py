@@ -16,15 +16,23 @@ Instant-NGP hash grid + StyleGAN2 decoder + GIRAFFE compositional NeRF +
 
 Package layout:
   config/      typed config tree, YAML ``inherit_from`` loader, CLI options
-  ops/         named TPU ops (fused_leaky_relu, upfirdn2d, SH + hash encoders)
-  geometry/    camera sampling, ray generation, mesh utilities
-  models/      SDF generator family, StyleGAN2 decoder, discriminators,
-               GIRAFFE and gan2d families
+  ops/         named TPU ops: fused_leaky_relu, upfirdn2d, SH + hash
+               encoders, fast_sin, the fused Pallas SIREN kernel
+  geometry/    camera sampling, ray generation, frustum alignment, meshes
+  models/      SDF generator family (FiLM-SIREN/NGP/FC renderers),
+               StyleGAN2 decoder, discriminators, noise projection
   losses/      GAN + geometry losses (R1, eikonal, path-reg, TV smoothness)
-  training/    staged train loops (sphere-init -> vol-render -> full pipeline)
-  parallel/    mesh construction and sharding rules
-  data/        LMDB multi-resolution dataset + preparation pipeline
+  training/    staged train steps/loops (sphere-init -> vol-render ->
+               full pipeline -> encoder), optimizers, EMA, microbatching
+  parallel/    device mesh + data-parallel jit (GSPMD)
+  giraffe/     GIRAFFE compositional-NeRF family + render programs
+  gan2d/       plain 2D GAN baseline
+  encoder/     inversion encoders (VAE, pSp/ir_se-50, ArcFace ID, LPIPS)
+  data/        record-store multi-resolution dataset + preparation
   evaluation/  InceptionV3 FID/KID in JAX
+  native/      C++ host runtime (record store, marching cubes, rasterizer)
+  utils/       checkpoints, metrics/profiler logging, weight import
+  serving.py   compiled warmed sampler for deployment
 """
 
 __version__ = "0.2.0"
