@@ -39,6 +39,14 @@ def main() -> None:
 
     fn, args = entry()
     params, z0, extr, focal, near, far, key = args
+    # Serving precision: bf16 weights (MXU-native), f32 SDF compositing
+    # (the renderer pins the sigmoid-beta/cumprod path to f32 internally).
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        params,
+    )
     if z0.shape[0] != BATCH:
         import jax.numpy as _jnp
 
@@ -72,7 +80,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 16)",
+                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 16, bf16 weights / f32 compositing)",
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / REFERENCE_H100_IMAGES_PER_SEC, 3),
