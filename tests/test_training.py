@@ -182,3 +182,30 @@ def test_stage_a_data_parallel_on_mesh():
     d3, _, dm_ref = d_ref_step(g, d, d_tx.init(d), jax.random.PRNGKey(1),
                                jax.device_get(real))
     np.testing.assert_allclose(float(dm["d"]), float(dm_ref["d"]), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ray_sharded_render_matches_single_device():
+    from sdface_gan_tpu.geometry import generate_camera_params
+    from sdface_gan_tpu.models.renderer import RendererConfig, init_renderer, render
+    from sdface_gan_tpu.parallel import make_mesh
+    from sdface_gan_tpu.parallel.rays import render_ray_sharded
+
+    cfg = RendererConfig(type="sdf", out_im_res=16, n_samples=4,
+                         style_dim=16, width=16, depth=2, perturb=0.0)
+    p = init_renderer(jax.random.PRNGKey(0), cfg)
+    cams = generate_camera_params(16, jax.random.PRNGKey(1), batch=2)
+    style = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+
+    ref = render(p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far, style)
+    mesh = make_mesh()
+    out = jax.jit(
+        lambda: render_ray_sharded(
+            p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far, style, mesh
+        )
+    )()
+    # sharded matmul partitioning reorders accumulation; ~3e-5 drift
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.features), np.asarray(ref.features),
+                               rtol=1e-3, atol=1e-4)
