@@ -1,3 +1,4 @@
+from .rays import place_ray_sharded, render_ray_sharded
 from .mesh import (
     batch_sharding,
     data_parallel_jit,
@@ -14,4 +15,6 @@ __all__ = [
     "replicate",
     "shard_batch",
     "data_parallel_jit",
+    "render_ray_sharded",
+    "place_ray_sharded",
 ]
