@@ -7,13 +7,20 @@ the accelerator.  Under data-parallel training the GLOBAL batch is
 produced here and sharded onto the mesh by the caller
 (:func:`sdface_gan_tpu.parallel.shard_batch`) — the XLA-native analog of
 the reference's (incomplete) ``DistributedSampler`` path.
+
+Lifecycle contract (the part the torch worker pool gets from
+``_MultiProcessingDataLoaderIter.__del__``): worker threads never block
+indefinitely on a full queue — they re-check the stop flag on a timeout —
+and :meth:`close` (or the context manager / generator finalizer) stops
+and JOINS every worker before returning, so no thread can touch the
+dataset after the caller tears it down.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -36,6 +43,8 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self._workers: List[Tuple[threading.Event, threading.Thread]] = []
+        self._lock = threading.Lock()
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -59,16 +68,65 @@ class DataLoader:
                     if stop.is_set():
                         return
                     sel = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    imgs, thumbs = zip(
-                        *(self.dataset.__getitem__(int(i), rng) for i in sel)
-                    )
-                    q.put((np.stack(imgs), np.stack(thumbs)))
+                    try:
+                        imgs, thumbs = zip(
+                            *(self.dataset.__getitem__(int(i), rng) for i in sel)
+                        )
+                    except ValueError:
+                        # Dataset torn down under us (record reader closed,
+                        # which raises instead of segfaulting): stop quietly.
+                        return
+                    item = (np.stack(imgs), np.stack(thumbs))
+                    # Bounded put: never block forever on a consumer that
+                    # has gone away — re-check stop between attempts.
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
                 epoch += 1
 
         t = threading.Thread(target=worker, daemon=True)
+        with self._lock:
+            self._workers.append((stop, t))
         t.start()
         try:
             while True:
                 yield q.get()
         finally:
             stop.set()
+            # Unblock a worker stuck in q.put by draining, then join.
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=10.0)
+            with self._lock:
+                self._workers = [w for w in self._workers if w[1] is not t]
+
+    def close(self) -> None:
+        """Stop and join every live worker thread.
+
+        After this returns no loader thread touches ``self.dataset``, so
+        the caller may safely ``dataset.close()`` (munmap the record
+        store).  Idempotent."""
+        with self._lock:
+            workers, self._workers = self._workers, []
+        for stop, _ in workers:
+            stop.set()
+        for _, t in workers:
+            t.join(timeout=10.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

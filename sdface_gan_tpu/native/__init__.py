@@ -17,6 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -122,31 +123,53 @@ class RecordWriter:
 
 
 class RecordReader:
-    """Zero-copy mmap reader for the native record store."""
+    """Zero-copy mmap reader for the native record store.
+
+    Thread-safe lifecycle: the C side's reads are const (index immutable,
+    values served from a read-only mmap), but ``close`` munmaps and frees
+    the handle — a close racing a ``get`` in another thread is a
+    use-after-free.  A per-reader lock serializes handle access (the copy
+    out of the mmap via ``string_at`` happens under the lock), and every
+    call after ``close`` raises ``ValueError`` instead of dereferencing a
+    NULL handle.
+    """
 
     def __init__(self, path: str):
+        self._lock = threading.Lock()
         self._h = lib().rs_reader_open(path.encode())
         if not self._h:
             raise IOError(f"cannot open record store: {path}")
 
+    def _handle(self):
+        if not self._h:
+            raise ValueError("record reader is closed")
+        return self._h
+
     def __len__(self) -> int:
-        return int(lib().rs_reader_count(self._h))
+        with self._lock:
+            return int(lib().rs_reader_count(self._handle()))
 
     def keys(self):
         for i in range(len(self)):
-            yield lib().rs_reader_key(self._h, i).decode()
+            with self._lock:
+                key = lib().rs_reader_key(self._handle(), i)
+            if key is None:
+                return
+            yield key.decode()
 
     def get(self, key: str) -> Optional[bytes]:
         n = ctypes.c_uint64()
-        ptr = lib().rs_reader_get(self._h, key.encode(), ctypes.byref(n))
-        if not ptr:
-            return None
-        return ctypes.string_at(ptr, n.value)
+        with self._lock:
+            ptr = lib().rs_reader_get(self._handle(), key.encode(), ctypes.byref(n))
+            if not ptr:
+                return None
+            return ctypes.string_at(ptr, n.value)
 
     def close(self) -> None:
-        if self._h:
-            lib().rs_reader_close(self._h)
-            self._h = None
+        with self._lock:
+            if self._h:
+                lib().rs_reader_close(self._h)
+                self._h = None
 
     def __enter__(self):
         return self

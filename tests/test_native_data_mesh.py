@@ -55,14 +55,51 @@ def test_prepare_and_dataset_and_loader(tmp_path):
     assert img.dtype == np.float32
     assert img.min() >= -1.0 and img.max() <= 1.0
 
-    loader = DataLoader(ds, batch_size=4, seed=1)
-    it = iter(loader)
-    imgs, thumbs = next(it)
-    assert imgs.shape == (4, 32, 32, 3)
-    assert thumbs.shape == (4, 16, 16, 3)
-    imgs2, _ = next(it)
-    assert imgs2.shape == (4, 32, 32, 3)
+    with DataLoader(ds, batch_size=4, seed=1) as loader:
+        it = iter(loader)
+        imgs, thumbs = next(it)
+        assert imgs.shape == (4, 32, 32, 3)
+        assert thumbs.shape == (4, 16, 16, 3)
+        imgs2, _ = next(it)
+        assert imgs2.shape == (4, 32, 32, 3)
     ds.close()
+
+
+def test_loader_reader_shutdown_stress(tmp_path):
+    """100x: tear the dataset down while a loader worker is mid-read.
+
+    Round-1 flaw: the prefetch worker was a never-joined daemon that could
+    segfault when ``RecordReader.close`` munmapped the store under a live
+    ``get`` (observed as a pytest-killing SIGSEGV).  Now ``close`` and
+    ``get`` are serialized, post-close access raises, and the loader joins
+    its workers deterministically."""
+    import threading
+
+    in_dir = _make_image_dir(tmp_path, n=8, size=24)
+    store = str(tmp_path / "store")
+    prepare_data(in_dir, store, sizes=(16,), n_workers=1)
+
+    for trial in range(100):
+        ds = MultiResolutionDataset(store, resolution=16, nerf_resolution=16)
+        loader = DataLoader(ds, batch_size=2, seed=trial, prefetch=2)
+        it = iter(loader)
+        next(it)
+        if trial % 2 == 0:
+            # the safe order: join workers, then close the reader
+            loader.close()
+            ds.close()
+        else:
+            # the hostile order: munmap the store while the worker runs
+            closer = threading.Thread(target=ds.close)
+            closer.start()
+            closer.join()
+            loader.close()
+        # post-close access fails loudly instead of dereferencing NULL
+        with pytest.raises(ValueError):
+            ds.reader.get("16-00000")
+        # idempotent close
+        ds.close()
+        loader.close()
 
 
 def test_dataset_hflip_consistency(tmp_path):
