@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..geometry.rays import base_t_vals, get_rays
 from ..models.renderer import RendererConfig, RenderOutput, _apply_network, _integrate

@@ -32,6 +32,7 @@ from ..models.discriminator import (
     init_volume_render_discriminator,
 )
 from ..models.generator import GeneratorConfig, generator_forward, init_generator
+from ..parallel import data_parallel_jit, make_mesh, replicate, shard_batch
 from ..utils.checkpoints import (
     checkpoint_exists,
     latest_checkpoint_step,
@@ -53,6 +54,25 @@ from .steps import (
 )
 
 Params = Dict[str, Any]
+
+
+def _training_mesh(hp: "TrainHParams", mesh=None):
+    """The data-parallel mesh for a stage: all devices when they divide the
+    global batch, else the largest prefix that does (1-chip = the trivial
+    mesh).  Completes the reference's DDP stub (``sdf_utils.py:334-379``)
+    as the production path, not a side library."""
+    if mesh is not None:
+        return mesh
+    devices = jax.devices()
+    n = len(devices)
+    while hp.batch % n:
+        n -= 1
+    if n != len(devices):
+        print(
+            f"data-parallel mesh: using {n}/{len(devices)} devices "
+            f"(global batch {hp.batch} must divide the mesh)"
+        )
+    return make_mesh(devices[:n])
 
 
 def copy_matching(dst: Params, src: Params) -> Params:
@@ -135,11 +155,16 @@ def train_volume_renderer(
     log_every: int = 100,
     seed: int = 0,
     exit_after: Optional[float] = None,
+    mesh=None,
 ) -> Params:
     """Stage A (reference ``train_vol_render``, ``training_utils.py:197-549``).
 
+    Runs data-parallel over ``mesh`` (default: all devices that divide the
+    batch); params/opt state replicated, the real batch sharded on its
+    leading dim, gradient averaging an XLA ``psum`` over ICI.
     Returns the EMA generator params; writes ``vol_renderer`` on completion.
     """
+    mesh = _training_mesh(hp, mesh)
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(out_dir, "vol_render", print_every=log_every)
     key = jax.random.PRNGKey(seed)
@@ -188,16 +213,23 @@ def train_volume_renderer(
         # fresh optimizer state for the adversarial phase
         g_state = g_tx.init(g)
 
-    # donate D/G params + opt states: halves peak HBM for the updates
-    d_step = jax.jit(make_stage_a_d_step(gcfg, dcfg, hp, d_tx), donate_argnums=(1, 2))
-    g_step = jax.jit(make_stage_a_g_step(gcfg, dcfg, hp, g_tx), donate_argnums=(0, 2, 3))
+    # Replicate model/opt state onto the mesh; the jitted global program
+    # shards only the real batch.  Donation halves peak HBM for the updates.
+    g, d, g_ema, g_state, d_state = replicate((g, d, g_ema, g_state, d_state), mesh)
+    d_step = data_parallel_jit(
+        make_stage_a_d_step(gcfg, dcfg, hp, d_tx), mesh,
+        batch_argnums=(4,), donate_argnums=(1, 2),
+    )
+    g_step = data_parallel_jit(
+        make_stage_a_g_step(gcfg, dcfg, hp, g_tx), mesh, donate_argnums=(0, 2, 3)
+    )
 
     data = iter(loader)
     t_start = time.time()
     for i in range(start_iter, iters):
         _, thumbs = next(data)
         key, k1, k2 = jax.random.split(key, 3)
-        d, d_state, dm = d_step(g, d, d_state, k1, jnp.asarray(thumbs))
+        d, d_state, dm = d_step(g, d, d_state, k1, shard_batch(np.asarray(thumbs), mesh))
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
         if i % log_every == 0:
             logger.log(i, {**{k: v for k, v in dm.items()}, **gm})
@@ -237,9 +269,12 @@ def train_full_pipeline(
     log_every: int = 100,
     seed: int = 0,
     exit_after: Optional[float] = None,
+    mesh=None,
 ) -> Params:
     """Stage B (reference ``train_full_pipeline``,
-    ``training_utils.py:552-881``).  Writes ``full_pipeline`` at the end."""
+    ``training_utils.py:552-881``).  Data-parallel over ``mesh`` like
+    stage A.  Writes ``full_pipeline`` at the end."""
+    mesh = _training_mesh(hp, mesh)
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(out_dir, "full_pipeline", print_every=log_every)
     key = jax.random.PRNGKey(seed)
@@ -278,10 +313,23 @@ def train_full_pipeline(
         g_ema = jax.tree_util.tree_map(jnp.copy, g)
         mean_path_length = jnp.zeros(())
 
-    d_step_plain = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, False), donate_argnums=(1, 2))
-    d_step_reg = jax.jit(make_stage_b_d_step(gcfg, dcfg, hp, d_tx, True), donate_argnums=(1, 2))
-    g_step = jax.jit(make_stage_b_g_step(gcfg, dcfg, hp, g_tx), donate_argnums=(0, 2, 3))
-    path_step = jax.jit(make_stage_b_path_step(gcfg, hp, g_tx), donate_argnums=(0, 1))
+    g, d, g_ema, g_state, d_state, mean_path_length = replicate(
+        (g, d, g_ema, g_state, d_state, mean_path_length), mesh
+    )
+    d_step_plain = data_parallel_jit(
+        make_stage_b_d_step(gcfg, dcfg, hp, d_tx, False), mesh,
+        batch_argnums=(4,), donate_argnums=(1, 2),
+    )
+    d_step_reg = data_parallel_jit(
+        make_stage_b_d_step(gcfg, dcfg, hp, d_tx, True), mesh,
+        batch_argnums=(4,), donate_argnums=(1, 2),
+    )
+    g_step = data_parallel_jit(
+        make_stage_b_g_step(gcfg, dcfg, hp, g_tx), mesh, donate_argnums=(0, 2, 3)
+    )
+    path_step = data_parallel_jit(
+        make_stage_b_path_step(gcfg, hp, g_tx), mesh, donate_argnums=(0, 1)
+    )
 
     data = iter(loader)
     t_start = time.time()
@@ -289,7 +337,7 @@ def train_full_pipeline(
         imgs, _ = next(data)
         key, k1, k2, k3 = jax.random.split(key, 4)
         d_step_fn = d_step_reg if i % hp.d_reg_every == 0 else d_step_plain
-        d, d_state, dm = d_step_fn(g, d, d_state, k1, jnp.asarray(imgs))
+        d, d_state, dm = d_step_fn(g, d, d_state, k1, shard_batch(np.asarray(imgs), mesh))
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
         if hp.g_reg_every > 0 and i % hp.g_reg_every == 0:
             g, g_state, mean_path_length, pm = path_step(g, g_state, mean_path_length, k3)

@@ -91,12 +91,16 @@ def train_sdf(args, cfg) -> None:
         hp = train_hparams(opt)
         ds = MultiResolutionDataset(data_path, resolution=img_size,
                                     nerf_resolution=gcfg.renderer.out_im_res)
-        loader = DataLoader(ds, batch_size=hp.batch, seed=args.seed)
-        train_volume_renderer(
-            loader, gcfg, vrd_cfg, hp, out_base,
-            iters=args.iters or 200001, sphere_init_iters=args.sphere_init_iters,
-            seed=args.seed, exit_after=exit_after,
-        )
+        try:
+            with DataLoader(ds, batch_size=hp.batch, seed=args.seed) as loader:
+                train_volume_renderer(
+                    loader, gcfg, vrd_cfg, hp, out_base,
+                    iters=args.iters or 200001,
+                    sphere_init_iters=args.sphere_init_iters,
+                    seed=args.seed, exit_after=exit_after,
+                )
+        finally:
+            ds.close()
 
     if need_b:
         opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
@@ -106,12 +110,16 @@ def train_sdf(args, cfg) -> None:
         hp = train_hparams(opt)
         ds = MultiResolutionDataset(data_path, resolution=img_size,
                                     nerf_resolution=gcfg.renderer.out_im_res)
-        loader = DataLoader(ds, batch_size=hp.batch, seed=args.seed)
-        train_full_pipeline(
-            loader, gcfg, sd_cfg, hp, out_base,
-            init_from="sdf_init_models" if args.wod else "vol_renderer",
-            iters=args.iters or 300000, seed=args.seed, exit_after=exit_after,
-        )
+        try:
+            with DataLoader(ds, batch_size=hp.batch, seed=args.seed) as loader:
+                train_full_pipeline(
+                    loader, gcfg, sd_cfg, hp, out_base,
+                    init_from="sdf_init_models" if args.wod else "vol_renderer",
+                    iters=args.iters or 300000, seed=args.seed,
+                    exit_after=exit_after,
+                )
+        finally:
+            ds.close()
 
     if args.vae or args.psp:
         from sdface_gan_tpu.training.encoder_loop import train_encoder_stage
