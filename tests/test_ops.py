@@ -98,45 +98,59 @@ def test_upfirdn2d_gradients_flow():
 
 
 # ---------------------------------------------------------------- SH encode
-def test_sh_encode_degree4_against_scipy():
+@pytest.mark.parametrize("degree", list(range(1, 9)))
+def test_sh_encode_against_scipy(degree):
+    """All degrees 1..8 (reference shencoder supports degree <= 8,
+    sphere_harmonics.py:70) against scipy's spherical harmonics.
+
+    The encoder's convention equals sqrt(2) * Re/Im of scipy's
+    Condon-Shortley-phased complex Y_l^{|m|} (torch-ngp shencoder.cu
+    convention: band 1 is (-y, z, -x)), components ordered m = -l..l."""
     scipy = pytest.importorskip("scipy.special")
     rng = np.random.default_rng(1)
     d = rng.standard_normal((64, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    out = np.asarray(sh_encode(jnp.asarray(d), degree=4))
-    assert out.shape == (64, 16)
+    out = np.asarray(sh_encode(jnp.asarray(d), degree=degree))
+    assert out.shape == (64, degree * degree)
 
-    x, y, z = d[:, 0], d[:, 1], d[:, 2]
-    theta = np.arccos(np.clip(z, -1, 1))
-    phi = np.arctan2(y, x)
+    theta = np.arccos(np.clip(d[:, 2], -1, 1))
+    phi = np.arctan2(d[:, 1], d[:, 0])
 
     def real_sh(l, m):
-        # Real SH built from complex Y_l^m; scipy >= 1.15 renamed
-        # sph_harm(m, l, phi, theta) -> sph_harm_y(l, m, theta, phi).
+        # scipy >= 1.15 renamed sph_harm(m, l, phi, theta) ->
+        # sph_harm_y(l, m, theta, phi).
         if hasattr(scipy, "sph_harm_y"):
             sh = scipy.sph_harm_y(l, abs(m), theta, phi)
         else:
             sh = scipy.sph_harm(abs(m), l, phi, theta)
         if m > 0:
-            return np.sqrt(2) * (-1) ** m * sh.real
+            return np.sqrt(2) * sh.real
         if m < 0:
-            return np.sqrt(2) * (-1) ** m * sh.imag
+            return np.sqrt(2) * sh.imag
         return sh.real
 
-    # The torch-ngp convention (shencoder.cu:50-68) matches the standard
-    # real SH up to a (-1)^m sign on positive/negative m pairs; check each
-    # component against the exact closed form instead:
+    i = 0
+    for l in range(degree):
+        for m in range(-l, l + 1):
+            np.testing.assert_allclose(
+                out[:, i], real_sh(l, m), rtol=1e-4, atol=2e-6,
+                err_msg=f"degree={degree} l={l} m={m}",
+            )
+            i += 1
+
+
+def test_sh_encode_degree4_closed_form():
+    rng = np.random.default_rng(1)
+    d = rng.standard_normal((64, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.asarray(sh_encode(jnp.asarray(d), degree=4))
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
     np.testing.assert_allclose(out[:, 0], 0.28209479177387814, rtol=1e-5)
     np.testing.assert_allclose(out[:, 1], -0.48860251190291987 * y, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(out[:, 2], 0.48860251190291987 * z, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(out[:, 6], 0.94617469575755997 * z**2 - 0.31539156525251999, rtol=1e-4, atol=1e-6)
-    # l=2, m=-2 component: compare |.| against scipy magnitude
-    np.testing.assert_allclose(
-        np.abs(out[:, 4]), np.abs(real_sh(2, -2)), rtol=1e-4, atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.abs(out[:, 12]), np.abs(real_sh(3, 0)), rtol=1e-4, atol=1e-6
-    )
+    np.testing.assert_allclose(out[:, 4], 1.0925484305920792 * x * y, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(out[:, 10], 2.8906114426405538 * x * y * z, rtol=1e-4, atol=1e-6)
 
 
 def test_sh_encode_shapes_and_grad():
@@ -243,6 +257,29 @@ def test_hash_encode_grads():
     dx[3, 1] = eps
     fd = (f(jnp.asarray(x0 + dx)) - f(jnp.asarray(x0 - dx))) / (2 * eps)
     np.testing.assert_allclose(fd, float(gx[3, 1]), rtol=5e-2, atol=1e-3)
+
+
+def test_hash_table_total_variation():
+    """TV regularizer (differentiable analog of kernel_grad_tv,
+    gridencoder.cu:507): zero on a constant table, positive and
+    differentiable on a random one, and smaller for smoother tables."""
+    from sdface_gan_tpu.ops import hash_table_total_variation
+
+    spec = HashGridSpec.create(num_levels=4, base_resolution=4, desired_resolution=64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.9, maxval=0.9)
+
+    const = jnp.ones_like(init_hash_table(jax.random.PRNGKey(0), spec))
+    assert float(hash_table_total_variation(const, spec, x)) == 0.0
+
+    rough = init_hash_table(jax.random.PRNGKey(0), spec, std=1.0)
+    tv_rough = float(hash_table_total_variation(rough, spec, x))
+    tv_smooth = float(hash_table_total_variation(rough * 0.1, spec, x))
+    assert tv_rough > 0
+    assert tv_smooth < tv_rough
+
+    g = jax.grad(lambda t: hash_table_total_variation(t, spec, x))(rough)
+    assert g.shape == rough.shape
+    assert float(jnp.sum(jnp.abs(g))) > 0
 
 
 # ------------------------------------------------------- fast_sin + pallas
