@@ -273,9 +273,13 @@ def minibatch_stddev(x: jnp.ndarray, group_size: int = 4, feat: int = 1) -> jnp.
     x: [B, H, W, C]; appends one channel with the group-averaged stddev.
     """
     b, h, w, c = x.shape
+    # Largest group <= group_size that divides the batch.  The reference
+    # (and upstream StyleGAN2) crashes on batches with no small divisor
+    # (e.g. b=5 -> group 2 -> ragged reshape); the divisor search keeps
+    # every batch size valid (group 1 degenerates to a zero channel).
     group = min(b, group_size)
-    if b % group != 0:
-        group = 3 if b % 3 == 0 else 2
+    while b % group:
+        group -= 1
     g = x.reshape(group, b // group, h, w, feat, c // feat)
     var = jnp.var(g, axis=0)
     stddev = jnp.sqrt(var + 1e-8)

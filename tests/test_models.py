@@ -267,6 +267,19 @@ def test_style_discriminator_logits():
     assert out.shape == (4, 1)
 
 
+@pytest.mark.parametrize("batch", [5, 7])
+def test_style_discriminator_odd_batches(batch):
+    """Batches with no small divisor must not crash minibatch-stddev
+    (the reference's grouping, sdf_model.py:1465-1477, reshapes raggedly
+    for b=5/7; the rebuild searches for the largest valid divisor)."""
+    cfg = StyleDiscConfig(size=32, channel_multiplier=1)
+    p = init_style_discriminator(KEY, cfg)
+    x = jax.random.normal(KEY, (batch, 32, 32, 3))
+    out = apply_style_discriminator(p, cfg, x)
+    assert out.shape == (batch, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 # ------------------------------------------------------------ full generator
 def test_full_generator_pipeline():
     cfg = GeneratorConfig(
