@@ -149,6 +149,11 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         e_tx = optax.adam(5e-4)
         e_state = e_tx.init(e)
         e_step = jax.jit(make_giraffe_encoder_step(gcfg, dcfg, hp, e_tx))
+        # the encoder is its own named artifact (render.py --vae loads it)
+        if ckpt.exists("encoder"):
+            est = ckpt.load("encoder", {"e": e, "e_opt": e_state})
+            e, e_state = est["e"], est["e_opt"]
+            print("resumed VAE encoder")
 
     max_it = tr.get("max_it", 1000000)
     exit_after = getattr(args, "exit_after", -1)
@@ -171,6 +176,8 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         if it % tr.get("checkpoint_every", 500) == 0:
             ckpt.save("model", g=g, d=d, g_ema=g_ema, g_opt=g_state, d_opt=d_state,
                       it=it, fid_best=jnp.asarray(fid_best))
+            if use_vae:
+                ckpt.save("encoder", e=e, e_opt=e_state)
         if it % tr.get("backup_every", 1000000) == 0:
             ckpt.save(f"model_{it:07d}", g=g, d=d, g_ema=g_ema, it=it)
         if it % tr.get("validate_every", 10000) == 0:
@@ -188,5 +195,7 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         if exit_after and exit_after > 0 and time.time() - t0 > exit_after:
             ckpt.save("model", g=g, d=d, g_ema=g_ema, g_opt=g_state, d_opt=d_state,
                       it=it, fid_best=jnp.asarray(fid_best))
+            if use_vae:
+                ckpt.save("encoder", e=e, e_opt=e_state)
             print("time budget reached; checkpoint saved")
             raise SystemExit(3)

@@ -245,3 +245,52 @@ def test_render_programs_and_mesh_extraction(tmp_path):
 
     mesh = extract_giraffe_mesh(p, TINY, resolution=24, level=0.001)
     assert mesh.verts.shape[1] == 3 and mesh.faces.shape[1] == 3
+
+
+def test_every_render_program_runs(tmp_path):
+    """Every program name the reference's render_full_visualization
+    dispatches (rendering.py:39-77) runs on a tiny random model."""
+    from sdface_gan_tpu.giraffe.rendering import (
+        _ADD_LAYOUTS,
+        PROGRAMS,
+        render_program,
+    )
+
+    p = init_giraffe(KEY, TINY)
+    for program in PROGRAMS:
+        if program in ("object_rotation", "render_add_objects"):
+            continue  # covered above
+        frames = render_program(p, TINY, program, str(tmp_path),
+                                n_samples=1, n_steps=2, save_video=False)
+        expected = (
+            len(_ADD_LAYOUTS[program]["reveal"]) if program in _ADD_LAYOUTS else 2
+        )
+        assert len(frames) == expected, program
+        assert all(np.all(np.isfinite(f)) for f in frames), program
+        assert (tmp_path / f"{program}.png").exists()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_program(p, TINY, "nope", str(tmp_path))
+
+
+def test_render_program_codes_override_and_mesh_export(tmp_path):
+    """The VAE-conditioning hook: explicit codes change the output; the
+    rotation program can export per-identity meshes."""
+    from sdface_gan_tpu.giraffe.generator import sample_latent_codes
+    from sdface_gan_tpu.giraffe.rendering import render_program
+
+    p = init_giraffe(KEY, TINY)
+    c1 = sample_latent_codes(jax.random.PRNGKey(5), TINY, 1, tmp=0.65)
+    c2 = sample_latent_codes(jax.random.PRNGKey(6), TINY, 1, tmp=0.65)
+    f1 = render_program(p, TINY, "object_rotation", str(tmp_path / "a"),
+                        n_steps=2, save_video=False, codes=c1)
+    f2 = render_program(p, TINY, "object_rotation", str(tmp_path / "b"),
+                        n_steps=2, save_video=False, codes=c2)
+    assert not np.allclose(f1[0], f2[0])
+
+    render_program(p, TINY, "object_rotation", str(tmp_path / "m"),
+                   n_samples=1, n_steps=2, save_video=False,
+                   export_meshes=True, mesh_resolution=16)
+    assert (tmp_path / "m" / "00_rotation.ply").exists()
