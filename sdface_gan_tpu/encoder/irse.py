@@ -223,9 +223,10 @@ def import_irse_state(state: Dict[str, np.ndarray], params: Params) -> Params:
         dst["mean"] = jnp.asarray(state[f"{prefix}.running_mean"])
         dst["var"] = jnp.asarray(state[f"{prefix}.running_var"])
 
-    out["input_conv"]["w"] = conv_w("input_layer.0.weight")
-    set_bn(out["input_bn"], "input_layer.1")
-    out["input_prelu"]["alpha"] = jnp.asarray(state["input_layer.2.weight"])
+    if "input_layer.0.weight" in state:  # tolerate partial/subtree dicts
+        out["input_conv"]["w"] = conv_w("input_layer.0.weight")
+        set_bn(out["input_bn"], "input_layer.1")
+        out["input_prelu"]["alpha"] = jnp.asarray(state["input_layer.2.weight"])
     for i, block in enumerate(out["body"]):
         pre = f"body.{i}"
         set_bn(block["res_bn1"], f"{pre}.res_layer.0")
