@@ -138,6 +138,8 @@ def _apply_network(
         out = siren_field_fused(
             params["network"], flat_pts, flat_views, style,
             depth=cfg.depth, width=cfg.width,
+            # Pallas on CPU only runs in interpret mode (tests / dev boxes)
+            interpret=jax.default_backend() == "cpu",
         )
         return out.reshape(b, h, w, s, -1)
 

@@ -40,9 +40,13 @@ class SDFaceSampler:
         cfg: GeneratorConfig,
         batch: int = 16,
         truncation: float = 0.7,
-        use_fused_kernel: bool = True,
+        use_fused_kernel: bool = False,
         seed: int = 0,
     ):
+        # use_fused_kernel=False is the measured-faster default: on v5e the
+        # XLA SIREN path reaches 263 img/s @256^2 bf16 vs 221 for the Pallas
+        # fused kernel (bench 2026-08-16, batch 16; the Pallas kernel does
+        # not gain from bf16 weights while the XLA path does).
         if use_fused_kernel and cfg.renderer.type == "sdf":
             cfg = replace(cfg, renderer=replace(cfg.renderer, use_fused_kernel=True))
         self.cfg = cfg
