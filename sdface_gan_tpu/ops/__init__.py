@@ -5,6 +5,7 @@ from .sh_encoder import sh_encode, sh_output_dim
 from .hash_encoder import (
     HashGridSpec,
     hash_encode,
+    hash_encode_vjp_sorted,
     init_hash_table,
     hash_table_total_variation,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "sh_output_dim",
     "HashGridSpec",
     "hash_encode",
+    "hash_encode_vjp_sorted",
     "init_hash_table",
     "hash_table_total_variation",
 ]

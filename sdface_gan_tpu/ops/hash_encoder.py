@@ -136,6 +136,46 @@ def _corner_offsets(dim: int) -> np.ndarray:
     )
 
 
+def _level_index_weight(
+    x01f: jnp.ndarray, spec: HashGridSpec, lvl: int, corners: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global table row indices [N, 2^D] and interpolation weights [N, 2^D]
+    for one level (the corner loop of ``gridencoder.cu:110-160``)."""
+    scale = spec.level_scale(lvl)
+    size = spec.level_table_size(lvl)
+    res = spec.level_resolution(lvl)
+    side = res if spec.align_corners else res + 1
+    use_hash = spec.level_uses_hash(lvl)
+
+    pos = x01f * scale + (0.0 if spec.align_corners else 0.5)
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    if spec.interpolation == "smoothstep":
+        frac = frac * frac * (3.0 - 2.0 * frac)  # gridencoder.cu:40-46
+    pg = pos_grid.astype(jnp.uint32)
+
+    cg = pg[:, None, :] + corners[None, :, :]  # [N, K, D]
+    if use_hash:
+        idx = jnp.zeros(cg.shape[:2], dtype=jnp.uint32)
+        for d in range(spec.input_dim):
+            idx = idx ^ (cg[..., d] * jnp.uint32(_PRIMES[d]))
+    else:
+        # Dense level: row-major linear index with stride side**d
+        # (gridencoder.cu:66-75); fits because side**D <= size here.
+        idx = jnp.zeros(cg.shape[:2], dtype=jnp.uint32)
+        stride = 1
+        for d in range(spec.input_dim):
+            idx = idx + cg[..., d] * jnp.uint32(stride)
+            stride *= side
+    idx = (idx % jnp.uint32(size)).astype(jnp.int32) + spec.offsets[lvl]
+
+    w = jnp.prod(
+        jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
+        axis=-1,
+    )  # [N, K]
+    return idx, w
+
+
 def hash_encode(
     x: jnp.ndarray,
     table: jnp.ndarray,
@@ -164,48 +204,65 @@ def hash_encode(
     x01f = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
 
     corners = jnp.asarray(_corner_offsets(spec.input_dim))  # [K, D]
-    ncorner = corners.shape[0]
     level_outs = []
     for lvl in range(spec.num_levels):
-        scale = spec.level_scale(lvl)
-        size = spec.level_table_size(lvl)
-        res = spec.level_resolution(lvl)
-        side = res if spec.align_corners else res + 1
-        use_hash = spec.level_uses_hash(lvl)
-
-        pos = x01f * scale + (0.0 if spec.align_corners else 0.5)
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        if spec.interpolation == "smoothstep":
-            frac = frac * frac * (3.0 - 2.0 * frac)  # gridencoder.cu:40-46
-        pg = pos_grid.astype(jnp.uint32)
-
-        cg = pg[:, None, :] + corners[None, :, :]  # [N, K, D]
-        if use_hash:
-            idx = jnp.zeros(cg.shape[:2], dtype=jnp.uint32)
-            for d in range(spec.input_dim):
-                idx = idx ^ (cg[..., d] * jnp.uint32(_PRIMES[d]))
-        else:
-            # Dense level: row-major linear index with stride side**d
-            # (gridencoder.cu:66-75); fits because side**D <= size here.
-            idx = jnp.zeros(cg.shape[:2], dtype=jnp.uint32)
-            stride = 1
-            for d in range(spec.input_dim):
-                idx = idx + cg[..., d] * jnp.uint32(stride)
-                stride *= side
-        idx = (idx % jnp.uint32(size)).astype(jnp.int32) + spec.offsets[lvl]
-
+        idx, w = _level_index_weight(x01f, spec, lvl, corners)
         gathered = table[idx]  # [N, K, C]
-        w = jnp.prod(
-            jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
-            axis=-1,
-        )  # [N, K]
         out = jnp.einsum("nk,nkc->nc", w, gathered.astype(w.dtype))
         level_outs.append(out)
 
     out = jnp.concatenate(level_outs, axis=-1)
     out = jnp.where(oob, 0.0, out)
     return out.reshape(prefix + (spec.output_dim,)).astype(table.dtype)
+
+
+def hash_encode_vjp_sorted(
+    x: jnp.ndarray,
+    table: jnp.ndarray,
+    spec: HashGridSpec,
+    cotangent: jnp.ndarray,
+    bound: float = 1.0,
+) -> jnp.ndarray:
+    """Table gradient via sort + sorted segment-sum — the TPU-native
+    alternative to the autodiff scatter-add (SURVEY §7 hard-part #2;
+    reference scatters with ``atomicAdd``, ``gridencoder.cu:249-336``).
+
+    Rationale: XLA's scatter with *unsorted, duplicate* indices has a slow
+    deterministic expansion on TPU.  Here the (row, value) update pairs of
+    all levels are key-sorted once (``lax.sort``, payload = the level_dim
+    value columns), then reduced with a sorted-indices segment sum, which
+    XLA can lower without the duplicate-handling serialization.
+
+    Returns d loss / d table, shape ``[table_size, level_dim]``.  Used by
+    the benchmark (``bench_ngp.py``) to decide the production backward;
+    numerically equal to ``jax.grad`` of :func:`hash_encode` w.r.t.
+    ``table`` (tested in ``tests/test_ops.py``).
+    """
+    n = int(np.prod(x.shape[:-1]))
+    x01 = (x.reshape(-1, spec.input_dim) + bound) / (2.0 * bound)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)
+    x01f = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+    cot = cotangent.reshape(n, spec.num_levels, spec.level_dim).astype(jnp.float32)
+    cot = jnp.where(oob[:, :, None], 0.0, cot)  # OOB points contribute nothing
+
+    corners = jnp.asarray(_corner_offsets(spec.input_dim))
+    idx_parts, val_parts = [], []
+    for lvl in range(spec.num_levels):
+        idx, w = _level_index_weight(x01f, spec, lvl, corners)  # [N,K] each
+        val = w[:, :, None] * cot[:, lvl, None, :]  # [N, K, C]
+        idx_parts.append(idx.reshape(-1))
+        val_parts.append(val.reshape(-1, spec.level_dim))
+    keys = jnp.concatenate(idx_parts)  # [M]
+    vals = jnp.concatenate(val_parts)  # [M, C]
+
+    operands = (keys,) + tuple(vals[:, c] for c in range(spec.level_dim))
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    skeys = sorted_ops[0]
+    svals = jnp.stack(sorted_ops[1:], axis=-1)
+    grad = jax.ops.segment_sum(
+        svals, skeys, num_segments=table.shape[0], indices_are_sorted=True
+    )
+    return grad.astype(table.dtype)
 
 
 def hash_table_total_variation(

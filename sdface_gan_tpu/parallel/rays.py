@@ -68,12 +68,21 @@ def render_ray_sharded(
         return rgb, features
 
     spec_ray = P(None, axis_name)  # shard the H (row) axis
+    # The replication checker (check_rep pre-0.9, check_vma 0.9+) rejects
+    # the closed-over replicated params; disable whichever this jax has.
+    import inspect
+
+    flag = (
+        "check_vma"
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else "check_rep"
+    )
     sharded = shard_map(
         band,
         mesh=mesh,
         in_specs=(spec_ray, spec_ray, spec_ray, spec_ray, P(None), P(None)),
         out_specs=(spec_ray, spec_ray),
-        check_rep=False,
+        **{flag: False},
     )
     rgb, features = sharded(
         rays.origins, rays.directions, rays.viewdirs, z_vals, scale, style

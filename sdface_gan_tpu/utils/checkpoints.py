@@ -86,11 +86,23 @@ def latest_checkpoint_step(base_dir: str, prefix: str = "models_") -> Optional[i
     return best
 
 
+def is_url(name: str) -> bool:
+    """URL detection (reference ``checkpoints.py:119-126``), extended with
+    ``file://`` so the download path is testable without egress."""
+    from urllib.parse import urlparse
+
+    return urlparse(name).scheme in ("http", "https", "file")
+
+
 class CheckpointIO:
     """GIRAFFE-style named checkpoint manager (reference
     ``checkpoints.py:9-126``): one dict holding model/optimizer states and
     scalars, with ``model.pt``-like named saves, numbered backups and
-    best-model copies."""
+    best-model copies.  ``load`` accepts URLs like the reference's
+    ``model_zoo.load_url`` path (``checkpoints.py:89-98``) — fetched into a
+    local cache, then parsed as a torch state dict (``.pt``/``.pth``, fed
+    to the ``utils/torch_import`` importers downstream) or a zipped orbax
+    checkpoint."""
 
     def __init__(self, checkpoint_dir: str):
         self.checkpoint_dir = checkpoint_dir
@@ -100,9 +112,55 @@ class CheckpointIO:
         return save_checkpoint(self.checkpoint_dir, filename, dict(kwargs))
 
     def load(self, filename: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        if is_url(filename):
+            return self.load_url(filename, target)
         if not checkpoint_exists(self.checkpoint_dir, filename):
             raise FileNotFoundError(os.path.join(self.checkpoint_dir, filename))
         return load_checkpoint(self.checkpoint_dir, filename, target)
+
+    def load_url(self, url: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Fetch + parse a remote checkpoint (reference
+        ``checkpoints.py:89-98``).  Torch archives are returned as plain
+        nested dicts of numpy arrays (state-dict form the torch importers
+        consume); ``.zip`` archives are extracted and orbax-restored."""
+        import hashlib
+        import urllib.request
+        import zipfile
+        from urllib.parse import urlparse
+
+        cache = os.path.join(self.checkpoint_dir, "_url_cache")
+        os.makedirs(cache, exist_ok=True)
+        base = os.path.basename(urlparse(url).path) or "checkpoint"
+        tag = hashlib.sha1(url.encode()).hexdigest()[:10]
+        local = os.path.join(cache, f"{tag}_{base}")
+        if not os.path.exists(local):
+            print(f"=> Loading checkpoint from url... {url}")
+            urllib.request.urlretrieve(url, local)
+        if base.endswith((".pt", ".pth")):
+            import numpy as np
+            import torch
+
+            sd = torch.load(local, map_location="cpu", weights_only=False)
+
+            def to_np(v: Any) -> Any:
+                if isinstance(v, torch.Tensor):
+                    return np.asarray(v.detach().numpy())
+                if isinstance(v, dict):
+                    return {k: to_np(x) for k, x in v.items()}
+                return v
+
+            return to_np(sd)
+        if base.endswith(".zip"):
+            name = f"{tag}_{base[:-4]}"
+            dst = _path(cache, name)
+            if not os.path.isdir(dst):
+                with zipfile.ZipFile(local) as zf:
+                    zf.extractall(dst)
+            # the archive may wrap the checkpoint in one root directory
+            entries = os.listdir(dst)
+            root = dst if len(entries) != 1 else os.path.join(dst, entries[0])
+            return load_checkpoint(os.path.dirname(root), os.path.basename(root), target)
+        raise ValueError(f"unsupported remote checkpoint format: {base}")
 
     def exists(self, filename: str) -> bool:
         return checkpoint_exists(self.checkpoint_dir, filename)

@@ -2,6 +2,7 @@
 cross-stage weight transfer."""
 
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +91,57 @@ def test_stage_b_loop_inits_from_stage_a(tmp_path):
     assert np.abs(w).max() > 50.0
 
 
+def test_stage_b_exit_after_resume_preserves_path_state(tmp_path):
+    """Kill stage B mid-run via the exit-after contract and resume: the
+    checkpoint must carry ``mean_path_length``, optimizer state and EMA,
+    and the resumed run must pick all three up (reference only ever
+    exercised this operationally, ``training_utils.py:552-881``)."""
+    import pytest
+
+    from sdface_gan_tpu.utils.checkpoints import load_checkpoint
+
+    out = str(tmp_path / "fp")
+    # exit_after=0 -> the time budget trips after iteration 0 completes,
+    # saving models_0000000 and raising SystemExit(3).
+    with pytest.raises(SystemExit) as exc:
+        train_full_pipeline(
+            fake_loader(16, 2), B_GCFG, StyleDiscConfig(size=32, channel_multiplier=1),
+            HP, out, iters=4, save_every=0, sample_every=0, log_every=1,
+            exit_after=0.0,
+        )
+    assert exc.value.code == 3
+    assert latest_checkpoint_step(out) == 0
+
+    ck = load_checkpoint(out, "models_0000000")
+    # g_reg_every=4 -> the path step ran at i=0, so mean_path_length moved
+    assert float(ck["mean_path_length"]) > 0.0
+    # Adam state advanced (second moment strictly positive somewhere)
+    d_nu = [np.asarray(x) for x in jax.tree_util.tree_leaves(ck["d_opt"])]
+    assert any(np.any(np.abs(x) > 0) for x in d_nu if x.ndim > 0)
+    # EMA accumulated away from a straight copy of g (decoder trains; the
+    # frozen renderer subtree stays identical by design)
+    g_dec = jax.tree_util.tree_leaves(ck["g"]["decoder"])
+    e_dec = jax.tree_util.tree_leaves(ck["g_ema"]["decoder"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(g_dec, e_dec)
+    )
+
+    # Resume: must load step/opt/EMA/path state and run to completion.
+    g_ema = train_full_pipeline(
+        fake_loader(16, 2), B_GCFG, StyleDiscConfig(size=32, channel_multiplier=1),
+        HP, out, iters=2, save_every=0, sample_every=0, log_every=1,
+    )
+    assert checkpoint_exists(out, "full_pipeline")
+    ck2 = load_checkpoint(out, "full_pipeline")
+    assert all(
+        np.all(np.isfinite(np.asarray(x)))
+        for x in jax.tree_util.tree_leaves(ck2["g_ema"])
+    )
+    assert all(
+        np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g_ema)
+    )
+
+
 def test_copy_matching_shape_filter():
     dst = {"a": jnp.zeros((2, 2)), "b": {"c": jnp.zeros((3,))}, "d": jnp.zeros((4,))}
     src = {"a": jnp.ones((2, 2)), "b": {"c": jnp.ones((5,))}, "e": jnp.ones((4,))}
@@ -108,3 +160,40 @@ def test_checkpoint_io_named(tmp_path):
     np.testing.assert_allclose(np.asarray(back["model"]["w"]), np.arange(4.0))
     assert int(back["it"]) == 7
     assert io.backup_model_best("model") is not None
+
+
+def test_checkpoint_io_url_loading(tmp_path):
+    """URL loads (reference ``checkpoints.py:89-98`` model_zoo path) via
+    file:// — a torch ``.pt`` state dict and a zipped orbax checkpoint."""
+    import zipfile
+
+    import torch
+
+    from sdface_gan_tpu.utils.checkpoints import is_url
+
+    assert is_url("https://host/model.pt") and not is_url("model.pt")
+
+    io = CheckpointIO(str(tmp_path / "io"))
+    # torch archive -> nested numpy state dict
+    pt = tmp_path / "weights.pt"
+    torch.save({"g": {"w": torch.arange(3.0)}, "it": 9}, str(pt))
+    sd = io.load(pt.as_uri())
+    np.testing.assert_allclose(sd["g"]["w"], np.arange(3.0))
+    assert sd["it"] == 9
+    # cached: second load must not re-fetch (delete the source to prove it)
+    pt.unlink()
+    sd2 = io.load(pt.as_uri())
+    np.testing.assert_allclose(sd2["g"]["w"], np.arange(3.0))
+
+    # zipped orbax checkpoint -> restored pytree
+    src = CheckpointIO(str(tmp_path / "src"))
+    path = src.save("model_best", model={"w": jnp.full((2,), 5.0)}, it=3)
+    zpath = tmp_path / "model_best.zip"
+    with zipfile.ZipFile(str(zpath), "w") as zf:
+        for root, _, files in os.walk(path):
+            for f in files:
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, os.path.dirname(path)))
+    back = io.load(zpath.as_uri())
+    np.testing.assert_allclose(np.asarray(back["model"]["w"]), 5.0)
+    assert int(back["it"]) == 3

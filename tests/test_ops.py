@@ -259,6 +259,32 @@ def test_hash_encode_grads():
     np.testing.assert_allclose(fd, float(gx[3, 1]), rtol=5e-2, atol=1e-3)
 
 
+def test_hash_encode_vjp_sorted_matches_autodiff():
+    """The sort+segment-sum table gradient (bench_ngp.py candidate
+    backward) must equal autodiff's scatter-add exactly, incl. OOB points
+    and duplicate hash collisions."""
+    from sdface_gan_tpu.ops import hash_encode_vjp_sorted
+
+    # tiny hash table forces collisions (duplicate keys in one segment)
+    spec = HashGridSpec.create(
+        num_levels=4, base_resolution=4, desired_resolution=64, log2_hashmap_size=7
+    )
+    table = init_hash_table(jax.random.PRNGKey(0), spec, std=1.0)
+    # include OOB points (|x| > bound=1) — their cotangent must be dropped
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1.3, maxval=1.3)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (64, spec.output_dim))
+
+    ref = jax.grad(lambda t: jnp.vdot(hash_encode(x, t, spec), cot))(table)
+    got = hash_encode_vjp_sorted(x, table, spec, cot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # batched-prefix shapes flatten identically
+    got2 = hash_encode_vjp_sorted(
+        x.reshape(4, 16, 3), table, spec, cot.reshape(4, 16, -1)
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_hash_table_total_variation():
     """TV regularizer (differentiable analog of kernel_grad_tv,
     gridencoder.cu:507): zero on a constant table, positive and
