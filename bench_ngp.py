@@ -117,7 +117,7 @@ def bench_stage_a_ngp(batch: int = 4) -> None:
         k1, k2 = jax.random.split(key)
         d, d_state, _ = d_step(g, d, d_state, k1, reals)
         g, g_state, g_ema, gm = g_step(g, d, g_state, g, k2)
-        return g, d, g_state, d_state, gm["g_loss"]
+        return g, d, g_state, d_state, gm["g"]
 
     key = jax.random.PRNGKey(7)
     state = (g, d, g_state, d_state)

@@ -16,14 +16,25 @@ TPU-native equivalent of the reference CUDA extension
 * Out-of-bound inputs (outside [0,1]) produce zeros, matching
   ``gridencoder.cu:110-135``.
 
-Performance note (measured, v5e): TPU random-gather throughput is
-~1.2-1.7e8 lookups/s regardless of table size or row width, so the
-16-level x 8-corner encoding of 393k points (50M lookups) costs ~300 ms —
-the XLA gather primitive, not this formulation, is the bound (a fused
+Performance note (measured, v5e, ``bench_ngp.py``): TPU random-gather
+throughput tops out at ~2.2e8 lookups/s in the corner-major [K, N]
+layout (~1.3-1.7e8 in earlier layouts) regardless of table size, so the
+16-level x 8-corner encoding of 393k points (50M lookups) costs ~230 ms
+— the XLA gather primitive, not this formulation, is the bound (a fused
 single-gather variant measured the same).  The hash table's random access
 pattern is fundamentally GPU-cache-shaped; on TPU prefer the pure-SDF
 SIREN renderer (no gather) for throughput-critical paths, or lower
 ``num_levels``/``desired_resolution``.
+
+Training backward (measured, v5e): the table gradient runs at
+~21 Mlookups/s through XLA's deterministic scatter-add — ~10x the
+forward's cost per lookup.  The sort + sorted-segment-sum alternative
+(:func:`hash_encode_vjp_sorted`, the SURVEY §7 hard-part-#2 design) was
+built and measured at 0.53x the scatter (11 Mlookups/s): the 50M-key
+``lax.sort`` costs more than the scatter's own duplicate handling, so
+the autodiff scatter-add IS the production backward.  Random-access
+scatter on TPU is latency-bound, not bandwidth-bound — no layout makes
+it match the gather ceiling.
 
 The hash function is the reference's prime-XOR
 (``gridencoder.cu:51-64``): ``idx = (x*1 ^ y*2654435761 ^ z*805459861)``
@@ -137,10 +148,19 @@ def _corner_offsets(dim: int) -> np.ndarray:
 
 
 def _level_index_weight(
-    x01f: jnp.ndarray, spec: HashGridSpec, lvl: int, corners: jnp.ndarray
+    x01f: jnp.ndarray, spec: HashGridSpec, lvl: int, corners: np.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Global table row indices [N, 2^D] and interpolation weights [N, 2^D]
-    for one level (the corner loop of ``gridencoder.cu:110-160``)."""
+    """Global table row indices and interpolation weights for one level
+    (the corner loop of ``gridencoder.cu:110-160``), both ``[2^D, N]``.
+
+    Layout note (measured, v5e): corner-major ``[K, N]`` keeps every
+    weight temporary unpadded in TPU tiled layout (K=8 sublanes x N
+    lanes), and the weight product is a STATIC unrolled multiply of [N]
+    column slices — no ``select``.  The previous ``[N, K, D]``
+    ``prod(where(...))`` formulation padded its double-backprop
+    temporaries 16x ([.., 8]-minor) and OOMed the stage-A NGP train step
+    (25.3G > 15.75G HBM at batch 4); this one fits.
+    """
     scale = spec.level_scale(lvl)
     size = spec.level_table_size(lvl)
     res = spec.level_resolution(lvl)
@@ -152,27 +172,33 @@ def _level_index_weight(
     frac = pos - pos_grid
     if spec.interpolation == "smoothstep":
         frac = frac * frac * (3.0 - 2.0 * frac)  # gridencoder.cu:40-46
-    pg = pos_grid.astype(jnp.uint32)
+    pgT = pos_grid.astype(jnp.uint32).T  # [D, N]
 
-    cg = pg[:, None, :] + corners[None, :, :]  # [N, K, D]
+    # cg[k, d, n] = pos_grid[n, d] + corner_bit[k, d]
+    cg = pgT[None, :, :] + jnp.asarray(corners)[:, :, None]  # [K, D, N]
     if use_hash:
-        idx = jnp.zeros(cg.shape[:2], dtype=jnp.uint32)
+        idx = jnp.zeros((corners.shape[0],) + pgT.shape[1:], dtype=jnp.uint32)
         for d in range(spec.input_dim):
-            idx = idx ^ (cg[..., d] * jnp.uint32(_PRIMES[d]))
+            idx = idx ^ (cg[:, d, :] * jnp.uint32(_PRIMES[d]))
     else:
         # Dense level: row-major linear index with stride side**d
         # (gridencoder.cu:66-75); fits because side**D <= size here.
-        idx = jnp.zeros(cg.shape[:2], dtype=jnp.uint32)
+        idx = jnp.zeros((corners.shape[0],) + pgT.shape[1:], dtype=jnp.uint32)
         stride = 1
         for d in range(spec.input_dim):
-            idx = idx + cg[..., d] * jnp.uint32(stride)
+            idx = idx + cg[:, d, :] * jnp.uint32(stride)
             stride *= side
-    idx = (idx % jnp.uint32(size)).astype(jnp.int32) + spec.offsets[lvl]
+    idx = (idx % jnp.uint32(size)).astype(jnp.int32) + spec.offsets[lvl]  # [K, N]
 
-    w = jnp.prod(
-        jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
-        axis=-1,
-    )  # [N, K]
+    one_minus = 1.0 - frac
+    factors = []
+    for k in range(corners.shape[0]):
+        f = None
+        for d in range(spec.input_dim):
+            fd = frac[:, d] if corners[k, d] == 1 else one_minus[:, d]
+            f = fd if f is None else f * fd
+        factors.append(f)
+    w = jnp.stack(factors, axis=0)  # [K, N]
     return idx, w
 
 
@@ -203,12 +229,12 @@ def hash_encode(
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)
     x01f = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
 
-    corners = jnp.asarray(_corner_offsets(spec.input_dim))  # [K, D]
+    corners = _corner_offsets(spec.input_dim)  # [K, D] static numpy
     level_outs = []
     for lvl in range(spec.num_levels):
-        idx, w = _level_index_weight(x01f, spec, lvl, corners)
-        gathered = table[idx]  # [N, K, C]
-        out = jnp.einsum("nk,nkc->nc", w, gathered.astype(w.dtype))
+        idx, w = _level_index_weight(x01f, spec, lvl, corners)  # [K, N] each
+        gathered = table[idx]  # [K, N, C]
+        out = jnp.einsum("kn,knc->nc", w, gathered.astype(w.dtype))
         level_outs.append(out)
 
     out = jnp.concatenate(level_outs, axis=-1)
@@ -245,11 +271,11 @@ def hash_encode_vjp_sorted(
     cot = cotangent.reshape(n, spec.num_levels, spec.level_dim).astype(jnp.float32)
     cot = jnp.where(oob[:, :, None], 0.0, cot)  # OOB points contribute nothing
 
-    corners = jnp.asarray(_corner_offsets(spec.input_dim))
+    corners = _corner_offsets(spec.input_dim)
     idx_parts, val_parts = [], []
     for lvl in range(spec.num_levels):
-        idx, w = _level_index_weight(x01f, spec, lvl, corners)  # [N,K] each
-        val = w[:, :, None] * cot[:, lvl, None, :]  # [N, K, C]
+        idx, w = _level_index_weight(x01f, spec, lvl, corners)  # [K,N] each
+        val = w[:, :, None] * cot[None, :, lvl, :]  # [K, N, C]
         idx_parts.append(idx.reshape(-1))
         val_parts.append(val.reshape(-1, spec.level_dim))
     keys = jnp.concatenate(idx_parts)  # [M]
