@@ -23,7 +23,7 @@ import time
 import jax
 
 REFERENCE_H100_IMAGES_PER_SEC = 2.5
-BATCH = 16
+BATCH = 32  # sweep (v5e, bf16): b8 247, b16 262, b32 269 img/s, b64 OOM
 WARMUP = 2
 ITERS = 10
 
@@ -59,20 +59,22 @@ def main() -> None:
     # Chain iterations through a scalar data dependency so queued dispatches
     # cannot overlap-or-escape the timed region, and sync by fetching a
     # scalar (block_until_ready can be a no-op on tunneled remote arrays).
+    # Only the 256^2 rgb is returned — the serving surface
+    # (SDFaceSampler._sample) does not materialize the 64^2 thumb either.
     def chained(params, z, extr, focal, near, far, key, feedback):
-        rgb, thumb = fn(params, z + 0.0 * feedback, extr, focal, near, far, key)
-        return rgb, thumb, jnp.mean(rgb)
+        rgb, _thumb = fn(params, z + 0.0 * feedback, extr, focal, near, far, key)
+        return rgb, jnp.mean(rgb)
 
     jfn = jax.jit(chained)
 
     fb = jnp.zeros(())
     for _ in range(WARMUP + 1):
-        rgb, thumb, fb = jfn(params, z0, extr, focal, near, far, key, fb)
+        rgb, fb = jfn(params, z0, extr, focal, near, far, key, fb)
     float(fb)  # sync
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        rgb, thumb, fb = jfn(params, z0, extr, focal, near, far, key, fb)
+        rgb, fb = jfn(params, z0, extr, focal, near, far, key, fb)
     float(fb)  # sync: forces the whole chain to have executed
     dt = time.perf_counter() - t0
 
@@ -83,7 +85,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 16, bf16 weights / f32 compositing, XLA SIREN path — measured faster than the Pallas fused kernel: 263 vs 221 img/s)",
+                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 32, bf16 weights / f32 compositing, XLA SIREN path — measured faster than the Pallas fused kernel: 263 vs 221 img/s at batch 16)",
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / REFERENCE_H100_IMAGES_PER_SEC, 3),
