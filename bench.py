@@ -23,7 +23,7 @@ import time
 import jax
 
 REFERENCE_H100_IMAGES_PER_SEC = 2.5
-BATCH = 32  # sweep (v5e, bf16): b8 247, b16 262, b32 269 img/s, b64 OOM
+BATCH = 32  # sweep (v5e, bf16, lane-dense compositing): b32 434, b64 438 img/s
 WARMUP = 2
 ITERS = 10
 
@@ -85,7 +85,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 32, bf16 weights / f32 compositing, XLA SIREN path — measured faster than the Pallas fused kernel: 263 vs 221 img/s at batch 16)",
+                "metric": "256x256 multi-view synthesis throughput (full SDF pipeline forward, batch 32, bf16 weights / f32 compositing, XLA SIREN path; compositing runs lane-dense [B,H,W,S] with rgb/sdf/features kept as separate tensors)",
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / REFERENCE_H100_IMAGES_PER_SEC, 3),

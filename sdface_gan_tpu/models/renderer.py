@@ -31,9 +31,9 @@ from .siren import (
     FCConfig,
     NGPSirenConfig,
     SirenConfig,
-    apply_fc_generator,
-    apply_ngp_siren_generator,
-    apply_siren_generator,
+    apply_fc_generator_parts,
+    apply_ngp_siren_generator_parts,
+    apply_siren_generator_parts,
     init_fc_generator,
     init_ngp_siren_generator,
     init_siren_generator,
@@ -126,34 +126,43 @@ def init_renderer(key: jax.Array, cfg: RendererConfig) -> Params:
 
 def _apply_network(
     params: Params, cfg: RendererConfig, pts: jnp.ndarray, views: jnp.ndarray, style: jnp.ndarray
-) -> jnp.ndarray:
-    """Evaluate the field on [B, H, W, S, 3] inputs via one flat GEMM axis."""
+):
+    """Evaluate the field on [B, H, W, S, 3] inputs via one flat GEMM axis.
+
+    Returns ``(rgb [B,H,W,S,3], sdf [B,H,W,S,1], features [B,H,W,S,F]|None)``
+    as separate tensors — the reference's channel-concat contract
+    (``sdf_model.py:247-250``) would force the consumer to slice features at
+    lane offset 4, a relayout of the multi-GB tensor on TPU (8x128 tiling).
+    """
     b, h, w, s, _ = pts.shape
     flat_pts = pts.reshape(b, h * w * s, 3)
     flat_views = views.reshape(b, h * w * s, 3)
     net_cfg = cfg.network_config()
     if cfg.use_fused_kernel and cfg.type == "sdf" and cfg.output_features:
-        from ..ops.siren_kernel import siren_field_fused
+        from ..ops.siren_kernel import siren_field_fused_parts
 
-        out = siren_field_fused(
+        rgb, sdf, feat = siren_field_fused_parts(
             params["network"], flat_pts, flat_views, style,
             depth=cfg.depth, width=cfg.width,
             # Pallas on CPU only runs in interpret mode (tests / dev boxes)
             interpret=jax.default_backend() == "cpu",
         )
-        return out.reshape(b, h, w, s, -1)
+    else:
+        def net(net_params, fp, fv, st):
+            if cfg.type == "ngp":
+                return apply_ngp_siren_generator_parts(net_params, net_cfg, fp, fv, st)
+            if cfg.type == "fc":
+                return apply_fc_generator_parts(net_params, net_cfg, fp, fv, st)
+            return apply_siren_generator_parts(net_params, net_cfg, fp, fv, st)
 
-    def net(net_params, fp, fv, st):
-        if cfg.type == "ngp":
-            return apply_ngp_siren_generator(net_params, net_cfg, fp, fv, st)
-        if cfg.type == "fc":
-            return apply_fc_generator(net_params, net_cfg, fp, fv, st)
-        return apply_siren_generator(net_params, net_cfg, fp, fv, st)
-
-    if cfg.remat:
-        net = jax.checkpoint(net)
-    out = net(params["network"], flat_pts, flat_views, style)
-    return out.reshape(b, h, w, s, -1)
+        if cfg.remat:
+            net = jax.checkpoint(net)
+        rgb, sdf, feat = net(params["network"], flat_pts, flat_views, style)
+    return (
+        rgb.reshape(b, h, w, s, -1),
+        sdf.reshape(b, h, w, s, 1),
+        feat.reshape(b, h, w, s, -1) if feat is not None else None,
+    )
 
 
 def _sample_z_vals(
@@ -190,57 +199,71 @@ def _sample_z_vals(
 def _integrate(
     params: Params,
     cfg: RendererConfig,
-    raw: jnp.ndarray,
+    parts: Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]],
     z_vals: jnp.ndarray,
     rays_d: jnp.ndarray,
     pts: jnp.ndarray,
     noise_key: Optional[jax.Array] = None,
 ):
     """Alpha compositing (reference ``volume_integration``,
-    ``sdf_model.py:236-301``).  Returns (rgb, features, sdf, mask, xyz)."""
-    # Compositing runs in f32 regardless of the network compute dtype:
-    # the sigmoid(-sdf/beta)/beta transform and the visibility cumprod are
-    # precision-sensitive (beta anneals toward ~1e-3 during training).
-    raw = raw.astype(jnp.float32)
+    ``sdf_model.py:236-301``).
+
+    ``parts`` is the network output ``(rgb, sdf, features)`` — separate
+    tensors, see :func:`_apply_network`.  Returns (rgb, features, sdf,
+    mask, xyz).  Compositing runs in f32 regardless of the network compute
+    dtype: the sigmoid(-sdf/beta)/beta transform and the visibility cumprod
+    are precision-sensitive (beta anneals toward ~1e-3 during training).
+    Only the SMALL tensors are cast, though — upcasting the [B,H,W,S,F]
+    features would materialize gigabytes; ``weights_f32 * features_bf16``
+    promotes elementwise to identical f32 values (bf16->f32 is exact) and
+    fuses into one read of the bf16 tensor.
+    """
+    rgb, sdf, features = parts
     z_vals = z_vals.astype(jnp.float32)
     dists = z_vals[..., 1:] - z_vals[..., :-1]  # [B,H,W,S-1]
-    rays_d_norm = jnp.linalg.norm(rays_d, axis=-1)  # [B,H,W]
+    rays_d_norm = jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1)  # [B,H,W]
     inf = jnp.broadcast_to(jnp.asarray(1e10, z_vals.dtype), rays_d_norm.shape)[..., None]
     dists = jnp.concatenate([dists, inf], -1) * rays_d_norm[..., None]  # [B,H,W,S]
 
-    fdim = cfg.feature_out_size if cfg.output_features else 0
-    rgb = raw[..., :3]
-    sdf = raw[..., 3:4]
-    features = raw[..., 4 : 4 + fdim] if cfg.output_features else None
+    rgb = rgb.astype(jnp.float32)
+    sdf = sdf.astype(jnp.float32)
+    if not cfg.output_features:
+        features = None
 
+    # The per-ray scalar chain (sigma/alpha/visibility/weights) runs as
+    # [B,H,W,S] — a trailing singleton channel would lane-pad every tensor
+    # 128x on TPU (8x128 tiling) and the cumprod makes O(log S) passes over
+    # it; squeezed, the whole chain is a few MB of physical traffic.
+    sdf_s = sdf[..., 0]  # [B,H,W,S]
     if cfg.with_sdf:
         beta = params["sigmoid_beta"].astype(jnp.float32)
-        sigma = jax.nn.sigmoid(-sdf / beta) / beta
-        alpha = 1.0 - jnp.exp(-sigma * dists[..., None])
+        sigma = jax.nn.sigmoid(-sdf_s / beta) / beta
+        alpha = 1.0 - jnp.exp(-sigma * dists)
     else:
         noise = 0.0
         if cfg.raw_noise_std > 0.0 and noise_key is not None:
-            noise = cfg.raw_noise_std * jax.random.normal(noise_key, sdf.shape)
-        alpha = 1.0 - jnp.exp(-jax.nn.softplus(sdf + noise) * dists[..., None])
+            noise = cfg.raw_noise_std * jax.random.normal(noise_key, sdf_s.shape)
+        alpha = 1.0 - jnp.exp(-jax.nn.softplus(sdf_s + noise) * dists)
 
     # visibility T_i = prod_{j<i} (1 - alpha_j); cumprod over the LOCAL
     # sample axis — ray sharding needs no collective here.
     trans = jnp.concatenate(
-        [jnp.ones_like(alpha[..., :1, :]), 1.0 - alpha + 1e-10], axis=-2
+        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1
     )
-    visibility = jnp.cumprod(trans, axis=-2)[..., :-1, :]
-    weights = alpha * visibility  # [B,H,W,S,1]
+    visibility = jnp.cumprod(trans, axis=-1)[..., :-1]
+    weights = alpha * visibility  # [B,H,W,S]
 
     if cfg.force_background:
-        last = 1.0 - jnp.sum(weights[..., :-1, :], axis=-2, keepdims=True)
-        weights = jnp.concatenate([weights[..., :-1, :], last], axis=-2)
+        last = 1.0 - jnp.sum(weights[..., :-1], axis=-1, keepdims=True)
+        weights = jnp.concatenate([weights[..., :-1], last], axis=-1)
 
-    rgb_map = -1.0 + 2.0 * jnp.sum(weights * jax.nn.sigmoid(rgb), axis=-2)
+    w_exp = weights[..., None]  # [B,H,W,S,1] broadcast against channels
+    rgb_map = -1.0 + 2.0 * jnp.sum(w_exp * jax.nn.sigmoid(rgb), axis=-2)
     feature_map = (
-        jnp.sum(weights * features, axis=-2) if cfg.output_features else None
+        jnp.sum(w_exp * features, axis=-2) if cfg.output_features else None
     )
-    xyz = jnp.sum(weights * pts, axis=-2) if cfg.return_xyz else None
-    mask = weights[..., -1, :] if cfg.return_xyz else None
+    xyz = jnp.sum(w_exp * pts, axis=-2) if cfg.return_xyz else None
+    mask = weights[..., -1:] if cfg.return_xyz else None
     sdf_out = sdf if cfg.return_sdf else None
     return rgb_map, feature_map, sdf_out, mask, xyz
 
@@ -283,15 +306,20 @@ def render(
         return _apply_network(params, cfg, normalized, views, style)
 
     if return_eikonal:
-        raw, vjp_fn = jax.vjp(field, pts)
-        cot = jnp.zeros_like(raw).at[..., 3].set(1.0)
+        parts, vjp_fn = jax.vjp(field, pts)
+        rgb_p, sdf_p, feat_p = parts
+        cot = (
+            jnp.zeros_like(rgb_p),
+            jnp.ones_like(sdf_p),
+            jnp.zeros_like(feat_p) if feat_p is not None else None,
+        )
         eikonal_term = vjp_fn(cot)[0]  # d sdf / d pts, [B,H,W,S,3]
     else:
-        raw = field(pts)
+        parts = field(pts)
         eikonal_term = None
 
     rgb_map, feature_map, sdf_out, mask, xyz = _integrate(
-        params, cfg, raw, z_vals, rays.directions, pts, noise_key=nkey
+        params, cfg, parts, z_vals, rays.directions, pts, noise_key=nkey
     )
     return RenderOutput(rgb_map, feature_map, sdf_out, mask, xyz, eikonal_term)
 
@@ -326,7 +354,7 @@ def mlp_init_pass(
     pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., None]
     views = jnp.broadcast_to(rays.viewdirs[..., None, :], pts.shape)
     normalized = pts * 2.0 / (far_b - near_b)[..., None] if cfg.z_normalize else pts
-    raw = _apply_network(params, cfg, normalized, views, style)
-    sdf = raw[..., 3]
+    _, sdf, _ = _apply_network(params, cfg, normalized, views, style)
+    sdf = sdf[..., 0]
     target = jnp.linalg.norm(jax.lax.stop_gradient(pts), axis=-1) - (far_b - near_b) / 4.0
     return sdf, target

@@ -72,6 +72,15 @@ def init_film_siren(
     }
 
 
+def _film_act(p: Params, out: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    """FiLM modulation + sine on a precomputed linear output ``out``."""
+    gamma = apply_linear(p["gamma"], style, std_init=15.0, bias_init=30.0)
+    beta = apply_linear(p["beta"], style, std_init=0.25, bias_init=0.0)
+    # fast_sin: polynomial sine (error < 1e-7) — XLA's range-reduced sin
+    # costs ~3x the GEMM on the VPU (see ops/transcendental.py)
+    return fast_sin(gamma[:, None, :] * out + beta[:, None, :])
+
+
 def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     """``sin(gamma(style) * (xW + b) + beta(style))``.
 
@@ -79,11 +88,7 @@ def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarr
     (reference ``sdf_model.py:58-59``).  ``x`` is [B, P, C]; ``style`` [B, S].
     """
     out = x.astype(p["w"].dtype) @ p["w"] + p["b"]
-    gamma = apply_linear(p["gamma"], style, std_init=15.0, bias_init=30.0)
-    beta = apply_linear(p["beta"], style, std_init=0.25, bias_init=0.0)
-    # fast_sin: polynomial sine (error < 1e-7) — XLA's range-reduced sin
-    # costs ~3x the GEMM on the VPU (see ops/transcendental.py)
-    return fast_sin(gamma[:, None, :] * out + beta[:, None, :])
+    return _film_act(p, out, style)
 
 
 # ---------------------------------------------------------------------------
@@ -117,25 +122,48 @@ def init_siren_generator(key: jax.Array, cfg: SirenConfig) -> Params:
     }
 
 
-def apply_siren_generator(
+def apply_siren_generator_parts(
     p: Params, cfg: SirenConfig, pts: jnp.ndarray, views: jnp.ndarray, style: jnp.ndarray
-) -> jnp.ndarray:
+):
     """Evaluate the SIREN field at flattened points.
 
     Args:
       pts / views: [B, P, 3] positions and view directions.
       style: [B, style_dim].
 
-    Returns [B, P, 3+1(+W)] = [rgb, sdf(, features)].
+    Returns ``(rgb [B,P,3], sdf [B,P,1], features [B,P,W] | None)`` as
+    SEPARATE tensors: concatenating them forces the consumer to re-slice at
+    lane offset 4, which on TPU (8x128 tiling) relayouts the multi-GB
+    feature tensor.  Use :func:`apply_siren_generator` for the reference's
+    concatenated channel contract.
     """
     h = pts
     for layer in p["pts_linears"]:
         h = apply_film_siren(layer, h, style)
     sdf = apply_linear(p["sigma_linear"], h)
-    feat = apply_film_siren(p["views_linear"], jnp.concatenate([h, views], -1), style)
+    # views_linear consumes concat([h, views]); splitting the GEMM along the
+    # input dim (w rows 0:W for h, W: for views) avoids materializing the
+    # [N, W+3] concat — same math, one less multi-GB HBM round trip.
+    vw = p["views_linear"]["w"]
+    width = h.shape[-1]
+    vout = (
+        h.astype(vw.dtype) @ vw[:width]
+        + views.astype(vw.dtype) @ vw[width:]
+        + p["views_linear"]["b"]
+    )
+    feat = _film_act(p["views_linear"], vout, style)
     rgb = apply_linear(p["rgb_linear"], feat)
+    return rgb, sdf, (feat if cfg.output_features else None)
+
+
+def apply_siren_generator(
+    p: Params, cfg: SirenConfig, pts: jnp.ndarray, views: jnp.ndarray, style: jnp.ndarray
+) -> jnp.ndarray:
+    """Concatenated [B, P, 3+1(+W)] = [rgb, sdf(, features)] contract
+    (reference ``SirenGenerator.forward``, ``sdf_model.py:120-139``)."""
+    rgb, sdf, feat = apply_siren_generator_parts(p, cfg, pts, views, style)
     out = jnp.concatenate([rgb, sdf], -1)
-    if cfg.output_features:
+    if feat is not None:
         out = jnp.concatenate([out, feat], -1)
     return out
 
@@ -178,6 +206,33 @@ def init_ngp_siren_generator(key: jax.Array, cfg: NGPSirenConfig) -> Params:
     }
 
 
+def apply_ngp_siren_generator_parts(
+    p: Params,
+    cfg: NGPSirenConfig,
+    pts: jnp.ndarray,
+    views: jnp.ndarray,
+    style: jnp.ndarray,
+):
+    """Hash-encode points, SH-encode dirs, run the short SIREN stack
+    (reference ``sdf_model.py:1566-1592``).  Returns (rgb, sdf, feat|None)."""
+    enc = hash_encode(pts, p["hash_table"], cfg.grid, bound=cfg.bound)
+    dirs = sh_encode(views, degree=cfg.sh_degree)
+    h = apply_linear(p["input_linear"], enc.astype(pts.dtype))
+    for layer in p["pts_linears"]:
+        h = apply_film_siren(layer, h, style)
+    sdf = apply_linear(p["sigma_linear"], h)
+    vw = p["views_linear"]["w"]
+    width = h.shape[-1]
+    vout = (
+        h.astype(vw.dtype) @ vw[:width]
+        + dirs.astype(vw.dtype) @ vw[width:]
+        + p["views_linear"]["b"]
+    )
+    feat = _film_act(p["views_linear"], vout, style)
+    rgb = apply_linear(p["rgb_linear"], feat)
+    return rgb, sdf, (feat if cfg.output_features else None)
+
+
 def apply_ngp_siren_generator(
     p: Params,
     cfg: NGPSirenConfig,
@@ -185,18 +240,10 @@ def apply_ngp_siren_generator(
     views: jnp.ndarray,
     style: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Hash-encode points, SH-encode dirs, run the short SIREN stack
-    (reference ``sdf_model.py:1566-1592``)."""
-    enc = hash_encode(pts, p["hash_table"], cfg.grid, bound=cfg.bound)
-    dirs = sh_encode(views, degree=cfg.sh_degree)
-    h = apply_linear(p["input_linear"], enc.astype(pts.dtype))
-    for layer in p["pts_linears"]:
-        h = apply_film_siren(layer, h, style)
-    sdf = apply_linear(p["sigma_linear"], h)
-    feat = apply_film_siren(p["views_linear"], jnp.concatenate([h, dirs], -1), style)
-    rgb = apply_linear(p["rgb_linear"], feat)
+    """Concatenated [rgb, sdf(, features)] channel contract."""
+    rgb, sdf, feat = apply_ngp_siren_generator_parts(p, cfg, pts, views, style)
     out = jnp.concatenate([rgb, sdf], -1)
-    if cfg.output_features:
+    if feat is not None:
         out = jnp.concatenate([out, feat], -1)
     return out
 
@@ -264,11 +311,12 @@ def init_fc_generator(key: jax.Array, cfg: FCConfig) -> Params:
     }
 
 
-def apply_fc_generator(
+def apply_fc_generator_parts(
     p: Params, cfg: FCConfig, pts: jnp.ndarray, views: jnp.ndarray, style: jnp.ndarray
-) -> jnp.ndarray:
+):
     """ReLU MLP with positional encoding; style enters additively after the
-    first layer (reference ``sdf_model.py:1654-1680``)."""
+    first layer (reference ``sdf_model.py:1654-1680``).  Returns
+    (rgb, sdf, feat|None)."""
     x = positional_encoding(pts, cfg.n_freq)
     v = positional_encoding(views, cfg.n_freq_views)
     h = apply_linear(p["x_in"], x) + apply_linear(p["style_in"], style)[:, None, :]
@@ -277,9 +325,23 @@ def apply_fc_generator(
         h = jax.nn.relu(apply_linear(layer, h))
     sdf = apply_linear(p["sigma_linear"], h)
     # NB: reference applies no activation after views_linears in the FC path.
-    feat = apply_linear(p["views_linear"], jnp.concatenate([h, v], -1))
+    vw = p["views_linear"]["w"]
+    width = h.shape[-1]
+    feat = (
+        h.astype(vw.dtype) @ vw[:width]
+        + v.astype(vw.dtype) @ vw[width:]
+        + p["views_linear"]["b"]
+    )
     rgb = apply_linear(p["rgb_linear"], feat)
+    return rgb, sdf, (feat if cfg.output_features else None)
+
+
+def apply_fc_generator(
+    p: Params, cfg: FCConfig, pts: jnp.ndarray, views: jnp.ndarray, style: jnp.ndarray
+) -> jnp.ndarray:
+    """Concatenated [rgb, sdf(, features)] channel contract."""
+    rgb, sdf, feat = apply_fc_generator_parts(p, cfg, pts, views, style)
     out = jnp.concatenate([rgb, sdf], -1)
-    if cfg.output_features:
+    if feat is not None:
         out = jnp.concatenate([out, feat], -1)
     return out

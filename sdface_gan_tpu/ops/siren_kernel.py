@@ -132,7 +132,7 @@ def _film_coeffs(p: Dict, style_1: jnp.ndarray, depth: int):
 @functools.partial(
     jax.jit, static_argnames=("depth", "width", "interpret", "dot_dtype")
 )
-def siren_field_fused(
+def siren_field_fused_parts(
     params: Dict,
     pts: jnp.ndarray,    # [B, P, 3]
     views: jnp.ndarray,  # [B, P, 3]
@@ -141,11 +141,11 @@ def siren_field_fused(
     width: int = 256,
     interpret: bool = False,
     dot_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """Fused evaluation returning [B, P, 4 + width] = [rgb, sdf, features].
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused evaluation returning ``(rgb [B,P,3], sdf [B,P,1], feat [B,P,W])``.
 
-    Matches ``apply_siren_generator`` (tested to ~1e-5); P is padded to a
-    TILE multiple internally.
+    Matches ``apply_siren_generator_parts`` (tested to ~1e-5); P is padded
+    to a TILE multiple internally.
     """
     b, n, _ = pts.shape
     n_pad = (n + TILE - 1) // TILE * TILE
@@ -200,5 +200,22 @@ def siren_field_fused(
         lambda s: _film_coeffs(params, s[None, :], depth)
     )(style)
     out, feat = jax.vmap(run_one)(x8, gammas, betas, gvs, bevs)
-    rgb_sdf = out[:, :n, :4]
-    return jnp.concatenate([rgb_sdf, feat[:, :n, :]], axis=-1)
+    return out[:, :n, :3], out[:, :n, 3:4], feat[:, :n, :]
+
+
+def siren_field_fused(
+    params: Dict,
+    pts: jnp.ndarray,
+    views: jnp.ndarray,
+    style: jnp.ndarray,
+    depth: int = 8,
+    width: int = 256,
+    interpret: bool = False,
+    dot_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Concatenated [B, P, 4 + width] = [rgb, sdf, features] contract."""
+    rgb, sdf, feat = siren_field_fused_parts(
+        params, pts, views, style, depth=depth, width=width,
+        interpret=interpret, dot_dtype=dot_dtype,
+    )
+    return jnp.concatenate([rgb, sdf, feat], axis=-1)

@@ -32,7 +32,14 @@ _S11 = -2.0362212148e-08
 
 
 def fast_sin(x: jnp.ndarray) -> jnp.ndarray:
-    """sin(x) via wrap-to-[-pi,pi] + degree-11 odd polynomial."""
+    """sin(x) via wrap-to-[-pi,pi] + degree-11 odd polynomial.
+
+    Internals are pinned to f32: the VPU computes in f32 regardless and the
+    casts fuse away, but a bf16 range reduction would be catastrophically
+    imprecise for |x| >> 1 (8 mantissa bits on ``round(x/2pi)*2pi``).
+    """
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
     x = x - jnp.round(x * _INV_TWO_PI) * _TWO_PI
     x2 = x * x
     p = _S11
@@ -41,7 +48,7 @@ def fast_sin(x: jnp.ndarray) -> jnp.ndarray:
     p = p * x2 + _S5
     p = p * x2 + _S3
     p = p * x2 + _S1
-    return x * p
+    return (x * p).astype(dtype)
 
 
 def fast_cos(x: jnp.ndarray) -> jnp.ndarray:

@@ -63,8 +63,8 @@ def render_ray_sharded(
         pts = origins[..., None, :] + dirs[..., None, :] * z_band[..., None]
         normalized = pts * scale_band[..., None] if cfg.z_normalize else pts
         v = jnp.broadcast_to(views[..., None, :], pts.shape)
-        raw = _apply_network(params, cfg, normalized, v, style_loc)
-        rgb, features, _, _, _ = _integrate(params, cfg, raw, z_band, dirs, pts)
+        parts = _apply_network(params, cfg, normalized, v, style_loc)
+        rgb, features, _, _, _ = _integrate(params, cfg, parts, z_band, dirs, pts)
         return rgb, features
 
     spec_ray = P(None, axis_name)  # shard the H (row) axis

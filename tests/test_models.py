@@ -128,7 +128,7 @@ def test_renderer_eikonal_matches_finite_difference():
 
     def sdf_at(pp):
         npts = pp * 2.0 / (far - near)[..., None]
-        return _apply_network(p, cfg, npts, views, style)[..., 3]
+        return _apply_network(p, cfg, npts, views, style)[1][..., 0]
 
     eps = 1e-4
     for axis in range(3):
