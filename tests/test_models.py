@@ -102,6 +102,69 @@ def test_renderer_force_background_weights_sum_to_one():
     assert out.mask.shape == (1, 4, 4, 1)
 
 
+def test_integrate_matches_naive_reference_formula():
+    """The lane-dense [B,H,W,S] compositing chain must equal a naive
+    transcription of the reference ``volume_integration``
+    (``sdf_model.py:236-301``) written with trailing-channel tensors."""
+    from sdface_gan_tpu.models.renderer import _integrate, init_renderer
+
+    cfg = RendererConfig(
+        type="sdf", out_im_res=4, n_samples=5, style_dim=16, width=16, depth=1,
+        return_xyz=True, return_sdf=True,
+    )
+    p = init_renderer(KEY, cfg)
+    b, h, w, s, f = 2, 4, 4, 5, cfg.feature_out_size
+    k = jax.random.split(KEY, 6)
+    rgb = jax.random.normal(k[0], (b, h, w, s, 3))
+    sdf = jax.random.normal(k[1], (b, h, w, s, 1)) * 0.3
+    feat = jax.random.normal(k[2], (b, h, w, s, f))
+    z_vals = jnp.sort(jax.random.uniform(k[3], (b, h, w, s), minval=0.88, maxval=1.12), -1)
+    rays_d = jax.random.normal(k[4], (b, h, w, 3))
+    pts = jax.random.normal(k[5], (b, h, w, s, 3))
+
+    rgb_map, feat_map, sdf_out, mask, xyz = _integrate(
+        p, cfg, (rgb, sdf, feat), z_vals, rays_d, pts
+    )
+
+    # naive reference: trailing-channel [B,H,W,S,1] everywhere
+    beta = p["sigmoid_beta"]
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1], jnp.full((b, h, w, 1), 1e10)], -1
+    ) * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    sigma = jax.nn.sigmoid(-sdf / beta) / beta
+    alpha = 1.0 - jnp.exp(-sigma * dists[..., None])
+    trans = jnp.concatenate([jnp.ones_like(alpha[..., :1, :]), 1.0 - alpha + 1e-10], -2)
+    weights = alpha * jnp.cumprod(trans, -2)[..., :-1, :]
+    last = 1.0 - jnp.sum(weights[..., :-1, :], -2, keepdims=True)
+    weights = jnp.concatenate([weights[..., :-1, :], last], -2)
+    ref_rgb = -1.0 + 2.0 * jnp.sum(weights * jax.nn.sigmoid(rgb), -2)
+    ref_feat = jnp.sum(weights * feat, -2)
+    ref_xyz = jnp.sum(weights * pts, -2)
+
+    np.testing.assert_allclose(np.asarray(rgb_map), np.asarray(ref_rgb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat_map), np.asarray(ref_feat), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xyz), np.asarray(ref_xyz), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(weights[..., -1, :]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sdf_out), np.asarray(sdf), atol=0)
+
+
+def test_parts_and_concat_network_contracts_agree():
+    """apply_siren_generator (reference channel-concat contract) must equal
+    the parts contract the renderer consumes."""
+    from sdface_gan_tpu.models.siren import apply_siren_generator_parts
+
+    cfg = SirenConfig(depth=2, width=32, style_dim=16)
+    p = init_siren_generator(KEY, cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 3)) * 0.5
+    views = jax.random.normal(jax.random.PRNGKey(2), (2, 40, 3))
+    style = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+    cat = apply_siren_generator(p, cfg, pts, views, style)
+    rgb, sdf, feat = apply_siren_generator_parts(p, cfg, pts, views, style)
+    np.testing.assert_allclose(np.asarray(cat[..., :3]), np.asarray(rgb), atol=0)
+    np.testing.assert_allclose(np.asarray(cat[..., 3:4]), np.asarray(sdf), atol=0)
+    np.testing.assert_allclose(np.asarray(cat[..., 4:]), np.asarray(feat), atol=0)
+
+
 def test_renderer_eikonal_matches_finite_difference():
     cfg = RendererConfig(
         type="sdf", out_im_res=2, n_samples=3, style_dim=16, width=16, depth=1,
