@@ -12,7 +12,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.hash_encoder import HashGridSpec, hash_encode, hash_table_total_variation
+from ..ops.hash_encoder import HashGridSpec, hash_encode
 
 
 def eikonal_loss(

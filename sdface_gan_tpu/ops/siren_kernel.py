@@ -14,8 +14,12 @@ style modulation is pre-computed outside (two tiny GEMMs) and indexed per
 batch element by ``vmap`` over the kernel.  Activations use the polynomial
 ``fast_sin`` (ops/transcendental.py).
 
-Used for inference/serving (bench, eval, mesh probing); training takes the
-XLA path where autodiff composes with the eikonal/R1 double backprop.
+Optional inference path (``RendererConfig.use_fused_kernel``); the XLA
+path is the measured-faster serving default — it interleaves the sine
+epilogue (VPU) with MXU tiles at the instruction level, while this
+kernel's per-tile layer chain serializes them (53 vs 76 ms field+composite
+at batch 32 bf16 on v5e).  Training always takes the XLA path where
+autodiff composes with the eikonal/R1 double backprop.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .transcendental import fast_sin
 
-TILE = 1024  # points per program: [1024, 256] activations = 1 MB fp32
+TILE = 2048  # points per program: [2048, 256] f32 activations = 2 MB VMEM
 
 
 def _siren_kernel(
@@ -82,7 +86,7 @@ def _siren_kernel(
     f = dot16(h, wv_pts_ref[:, :])
     f = f + dot16(dirs, wv_dir_ref[:, :])
     f = fast_sin(gv_ref[:, :] * (f + bv_ref[:, :]) + bev_ref[:, :])
-    feat_ref[:, :] = f
+    feat_ref[:, :] = f.astype(feat_ref.dtype)
 
     rgb = dot16(f, w_rgb_ref[:, :])
     rgb = rgb + b_rgb_ref[:, :]
@@ -95,20 +99,33 @@ def _siren_kernel(
     )
 
 
-def _pack_params(p: Dict, depth: int, width: int):
-    """Stack the SIREN layer params into kernel-friendly padded arrays."""
-    w_first = jnp.zeros((8, width)).at[:3].set(p["pts_linears"][0]["w"])
-    b_first = p["pts_linears"][0]["b"][None, :]
-    w_stack = jnp.stack([p["pts_linears"][i]["w"] for i in range(1, depth)])
-    b_stack = jnp.stack([p["pts_linears"][i]["b"] for i in range(1, depth)])
+def _pack_params(p: Dict, depth: int, width: int, dot_dtype):
+    """Stack the SIREN layer params into kernel-friendly padded arrays.
+
+    Weight matrices are stored in ``dot_dtype`` (bf16 by default — halves
+    the resident VMEM and the broadcast DMA); biases stay f32 and are
+    added to the f32 dot accumulators in-kernel.
+    """
+    w_first = jnp.zeros((8, width), dot_dtype).at[:3].set(
+        p["pts_linears"][0]["w"].astype(dot_dtype))
+    b_first = p["pts_linears"][0]["b"][None, :].astype(jnp.float32)
+    w_stack = jnp.stack(
+        [p["pts_linears"][i]["w"] for i in range(1, depth)]).astype(dot_dtype)
+    b_stack = jnp.stack(
+        [p["pts_linears"][i]["b"] for i in range(1, depth)]).astype(jnp.float32)
     wv = p["views_linear"]["w"]  # [W+3, W]
-    wv_pts = wv[:width]
-    wv_dir = jnp.zeros((8, width)).at[4:7].set(wv[width:])
-    bv = p["views_linear"]["b"][None, :]
-    w_rgb = jnp.zeros((width, 8)).at[:, :3].set(p["rgb_linear"]["w"])
-    b_rgb = jnp.zeros((1, 8)).at[:, :3].set(p["rgb_linear"]["b"])
-    w_sdf = jnp.zeros((width, 8)).at[:, :1].set(p["sigma_linear"]["w"])
-    b_sdf = jnp.zeros((1, 8)).at[:, :1].set(p["sigma_linear"]["b"])
+    wv_pts = wv[:width].astype(dot_dtype)
+    wv_dir = jnp.zeros((8, width), dot_dtype).at[4:7].set(
+        wv[width:].astype(dot_dtype))
+    bv = p["views_linear"]["b"][None, :].astype(jnp.float32)
+    w_rgb = jnp.zeros((width, 8), dot_dtype).at[:, :3].set(
+        p["rgb_linear"]["w"].astype(dot_dtype))
+    b_rgb = jnp.zeros((1, 8), jnp.float32).at[:, :3].set(
+        p["rgb_linear"]["b"].astype(jnp.float32))
+    w_sdf = jnp.zeros((width, 8), dot_dtype).at[:, :1].set(
+        p["sigma_linear"]["w"].astype(dot_dtype))
+    b_sdf = jnp.zeros((1, 8), jnp.float32).at[:, :1].set(
+        p["sigma_linear"]["b"].astype(jnp.float32))
     return (w_first, b_first, w_stack, b_stack, wv_pts, wv_dir, bv,
             w_rgb, b_rgb, w_sdf, b_sdf)
 
@@ -149,11 +166,13 @@ def siren_field_fused_parts(
     """
     b, n, _ = pts.shape
     n_pad = (n + TILE - 1) // TILE * TILE
-    packed = _pack_params(params, depth, width)
+    packed = _pack_params(params, depth, width, dot_dtype)
 
-    # interleave xyz / dirs into one [B, P, 8] tile-friendly input
-    x8 = jnp.zeros((b, n_pad, 8), pts.dtype)
-    x8 = x8.at[:, :n, :3].set(pts).at[:, :n, 4:7].set(views)
+    # interleave xyz / dirs into one [B, P, 8] tile-friendly input, stored
+    # in the dot dtype (the first-layer matmul casts anyway — same values)
+    x8 = jnp.zeros((b, n_pad, 8), dot_dtype)
+    x8 = x8.at[:, :n, :3].set(pts.astype(dot_dtype))
+    x8 = x8.at[:, :n, 4:7].set(views.astype(dot_dtype))
 
     def run_one(x_one, g, be, gv, bev):
         grid = (n_pad // TILE,)
@@ -186,7 +205,9 @@ def siren_field_fused_parts(
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_pad, 16), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad, width), jnp.float32),
+                # features stream out in the dot dtype — the compositing
+                # weighted-sum promotes them elementwise (renderer._integrate)
+                jax.ShapeDtypeStruct((n_pad, width), dot_dtype),
             ],
             interpret=interpret,
         )(

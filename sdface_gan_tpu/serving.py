@@ -44,9 +44,9 @@ class SDFaceSampler:
         seed: int = 0,
     ):
         # use_fused_kernel=False is the measured-faster default: on v5e the
-        # XLA SIREN path reaches 434 img/s @256^2 bf16 (batch 32) vs 221 for
-        # the Pallas fused kernel — the XLA path wins once activations stay
-        # bf16 and compositing is lane-dense (see README Performance).
+        # XLA SIREN field runs 53 ms vs 76 ms for the Pallas fused kernel
+        # (batch 32, bf16) — XLA interleaves the sine epilogue with MXU
+        # tiles; the kernel serializes them (see README Performance).
         if use_fused_kernel and cfg.renderer.type == "sdf":
             cfg = replace(cfg, renderer=replace(cfg.renderer, use_fused_kernel=True))
         self.cfg = cfg
