@@ -36,13 +36,29 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 4,
         drop_last: bool = True,
+        host_id: int = 0,
+        num_hosts: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch.  Under multi-host training
+        pass ``host_id=jax.process_index(), num_hosts=jax.process_count()``:
+        every host draws the same epoch permutation (same seed) and yields
+        its ``batch_size // num_hosts``-example slice of each global batch —
+        the jax.Array-native replacement for the reference's
+        ``DistributedSampler`` (``sdf_utils.py:44-52``)."""
+        if batch_size % num_hosts != 0:
+            raise ValueError(
+                f"global batch {batch_size} must divide across {num_hosts} hosts"
+            )
+        if not (0 <= host_id < num_hosts):
+            raise ValueError(f"host_id {host_id} out of range [0, {num_hosts})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.host_id = host_id
+        self.num_hosts = num_hosts
         self._workers: List[Tuple[threading.Event, threading.Thread]] = []
         self._lock = threading.Lock()
 
@@ -68,6 +84,9 @@ class DataLoader:
                     if stop.is_set():
                         return
                     sel = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    # this host's contiguous slice of the global batch
+                    per_host = self.batch_size // self.num_hosts
+                    sel = sel[self.host_id * per_host : (self.host_id + 1) * per_host]
                     try:
                         imgs, thumbs = zip(
                             *(self.dataset.__getitem__(int(i), rng) for i in sel)

@@ -53,8 +53,19 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Place batch arrays sharded along their leading dim."""
+    """Place batch arrays sharded along their leading dim.
+
+    Single-process: ``batch`` is the full global batch (device_put splits
+    it over the local devices).  Multi-process: ``batch`` is this HOST'S
+    slice (from ``DataLoader(host_id=..., num_hosts=...)``) and the global
+    jax.Array is assembled from the per-process shards — completing the
+    reference's ``DistributedSampler`` + DDP stub (``sdf_utils.py:44-52``).
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+        )
     return jax.device_put(batch, sharding)
 
 

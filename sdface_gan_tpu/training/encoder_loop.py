@@ -93,7 +93,9 @@ def train_encoder_stage(args: Any, cfg: Any, out_base: str,
     data_path = getattr(args, "dataset_path", None) or os.path.dirname(cfg["data"]["path"])
     ds = MultiResolutionDataset(data_path, resolution=img_size,
                                 nerf_resolution=gcfg.renderer.out_im_res)
-    loader = iter(DataLoader(ds, batch_size=getattr(args, "batch", 8)))
+    loader = iter(DataLoader(ds, batch_size=getattr(args, "batch", 8),
+                             host_id=jax.process_index(),
+                             num_hosts=jax.process_count()))
 
     loss_utils = LossUtils()  # perceptual weights attach when provided
     step = jax.jit(make_encoder_step(gcfg, ecfg, tx, loss_utils))

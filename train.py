@@ -72,6 +72,8 @@ def train_sdf(args, cfg) -> None:
     from sdface_gan_tpu.training.loop import train_full_pipeline, train_volume_renderer
     from sdface_gan_tpu.utils.checkpoints import checkpoint_exists
 
+    import jax
+
     expname = cfg["training"]["out_dir"].split("/")[1]
     out_base = os.path.join("./out", expname)
     need_a = not checkpoint_exists(out_base, "vol_renderer")
@@ -92,7 +94,9 @@ def train_sdf(args, cfg) -> None:
         ds = MultiResolutionDataset(data_path, resolution=img_size,
                                     nerf_resolution=gcfg.renderer.out_im_res)
         try:
-            with DataLoader(ds, batch_size=hp.batch, seed=args.seed) as loader:
+            with DataLoader(ds, batch_size=hp.batch, seed=args.seed,
+                            host_id=jax.process_index(),
+                            num_hosts=jax.process_count()) as loader:
                 train_volume_renderer(
                     loader, gcfg, vrd_cfg, hp, out_base,
                     iters=args.iters or 200001,
@@ -111,7 +115,9 @@ def train_sdf(args, cfg) -> None:
         ds = MultiResolutionDataset(data_path, resolution=img_size,
                                     nerf_resolution=gcfg.renderer.out_im_res)
         try:
-            with DataLoader(ds, batch_size=hp.batch, seed=args.seed) as loader:
+            with DataLoader(ds, batch_size=hp.batch, seed=args.seed,
+                            host_id=jax.process_index(),
+                            num_hosts=jax.process_count()) as loader:
                 train_full_pipeline(
                     loader, gcfg, sd_cfg, hp, out_base,
                     init_from="sdf_init_models" if args.wod else "vol_renderer",
