@@ -247,9 +247,14 @@ def apply_styled_conv(
     out = apply_modulated_conv(p["conv"], cfg, x, style)
     if noise is None and noise_key is not None:
         b, h, w, _ = out.shape
-        noise = jax.random.normal(noise_key, (b, h, w, 1), dtype=out.dtype)
+        # [B,H,W] (not [B,H,W,1]): a trailing singleton would lane-pad the
+        # tensor 128x under TPU tiling; the [..., None] broadcast below
+        # reads the dense layout and fuses into the add.
+        noise = jax.random.normal(noise_key, (b, h, w), dtype=out.dtype)
     if noise is not None:
-        out = out + p["noise_weight"] * noise
+        if noise.ndim == 4:
+            noise = noise[..., 0]
+        out = out + p["noise_weight"] * noise[..., None]
     return fused_leaky_relu(out, p["act_bias"])
 
 
@@ -279,6 +284,14 @@ def apply_to_rgb(
             skip = upsample2d(skip, jnp.asarray(BLUR_KERNEL, jnp.float32))
         out = out + skip
     return out
+
+
+# NOTE on skip layout: carrying the 3-channel skip pyramid NCHW (dense
+# lanes) was tried and measured — no gain in the full pipeline (XLA fuses
+# the upsample+add into the ToRGB epilogue well enough), and when the
+# decoder is jitted standalone the NHWC->NCHW conv output lets layout
+# assignment propagate NCHW into the big styled convs (3.5x slower).
+# upfirdn2d keeps its channels_last=False option for few-channel tensors.
 
 
 # ---------------------------------------------------------------------------

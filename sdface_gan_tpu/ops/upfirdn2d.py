@@ -45,11 +45,14 @@ def upfirdn2d(
     up: int = 1,
     down: int = 1,
     pad: Tuple[int, int] = (0, 0),
+    channels_last: bool = True,
 ) -> jnp.ndarray:
-    """Apply up/FIR/down resampling to an NHWC tensor.
+    """Apply up/FIR/down resampling.
 
     Args:
-      x: [B, H, W, C].
+      x: [B, H, W, C] (default) or [B, C, H, W] with ``channels_last=False``
+        — the NCHW path exists for few-channel tensors (RGB skips), whose
+        NHWC layout lane-pads C up to 128 on TPU.
       kernel: [kh, kw] FIR taps (already scaled by ``up**2`` for upsampling
         paths, as the callers do — reference ``sdf_model.py:485,529``).
       up / down: integer resampling factors (same for both spatial dims,
@@ -57,8 +60,9 @@ def upfirdn2d(
       pad: (pad0, pad1) applied before filtering on both spatial dims.
     """
     if x.ndim != 4:
-        raise ValueError(f"upfirdn2d expects NHWC, got shape {x.shape}")
-    c = x.shape[-1]
+        raise ValueError(f"upfirdn2d expects a rank-4 tensor, got {x.shape}")
+    c = x.shape[-1] if channels_last else x.shape[1]
+    dn = ("NHWC", "HWIO", "NHWC") if channels_last else ("NCHW", "HWIO", "NCHW")
     kh, kw = kernel.shape
     # Cross-correlation with a flipped kernel == true convolution, matching
     # the reference's F.conv2d(out, flip(kernel)) (sdf_op.py:304-308).
@@ -74,18 +78,21 @@ def upfirdn2d(
         window_strides=(down, down),
         padding=pads,
         lhs_dilation=(up, up),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=dn,
         feature_group_count=c,
     )
 
 
-def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+def upsample2d(
+    x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2, channels_last: bool = True
+) -> jnp.ndarray:
     """Blur-upsample (reference ``Upsample``, ``sdf_model.py:480-498``)."""
     k = make_kernel(kernel) * (factor**2)
     p = k.shape[0] - factor
     pad0 = (p + 1) // 2 + factor - 1
     pad1 = p // 2
-    return upfirdn2d(x, k, up=factor, down=1, pad=(pad0, pad1))
+    return upfirdn2d(x, k, up=factor, down=1, pad=(pad0, pad1),
+                     channels_last=channels_last)
 
 
 def downsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
