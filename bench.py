@@ -2,7 +2,8 @@
 
 Measures images/sec for the flagship full-pipeline generator forward
 (mapping -> 8-layer FiLM-SIREN volume renderer @64^2x24 samples ->
-StyleGAN2 decoder to 256^2), batch 4 — the BASELINE.json headline metric.
+StyleGAN2 decoder to 256^2) at BATCH below — the BASELINE.json headline
+metric.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}

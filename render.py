@@ -11,7 +11,6 @@ the render programs with those object codes instead of samples.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 
@@ -72,7 +71,7 @@ def _encode_real_images(args, cfg, gcfg, ckpt):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from PIL import Image
+
 
     from sdface_gan_tpu.encoder import (
         VAEEncoderConfig,
@@ -95,17 +94,25 @@ def _encode_real_images(args, cfg, gcfg, ckpt):
     pattern = args.vae_images or cfg["data"]["path"]
     if os.path.isdir(pattern):
         pattern = os.path.join(pattern, "*")
-    paths = sorted(glob.glob(pattern))[: args.n_samples]
-    if not paths:
+    # Preprocess exactly as the encoder was trained (giraffe train loop):
+    # celebA center crop / random-crop / tanh range come from the SAME
+    # config keys — a bare resize would feed the VAE out-of-distribution
+    # inputs (aspect-squashed, uncropped, wrong range).
+    from sdface_gan_tpu.data.images import ImagesDataset
+
+    dataset = ImagesDataset(
+        pattern,
+        size=img_size,
+        celebA_center_crop=cfg["data"].get("celebA_center_crop", False),
+        random_crop=cfg["data"].get("random_crop", False),
+        use_tanh_range=cfg["data"].get("use_tanh_range", False),
+        hflip=False,  # deterministic conditioning
+    )
+    n_cond = min(args.n_samples, len(dataset))
+    if n_cond == 0:
         raise SystemExit(f"--vae: no images found at {pattern}")
-    imgs = np.stack([
-        np.asarray(
-            Image.open(f).convert("RGB").resize((img_size, img_size)),
-            dtype=np.float32,
-        ) / 255.0
-        for f in paths
-    ])
-    print(f"conditioning on {len(paths)} real images from {pattern}")
+    imgs = np.stack([dataset[i] for i in range(n_cond)])
+    print(f"conditioning on {n_cond} real images from {pattern}")
 
     key = jax.random.PRNGKey(args.seed)
     k_rep, k_bg1, k_bg2 = jax.random.split(key, 3)

@@ -73,38 +73,43 @@ class DataLoader:
         ``sample_data`` loops the loader forever, ``sdf_utils.py:55-67``)."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        _DEAD = object()  # sentinel: worker exited, nothing more will come
+
+        def put_bounded(item) -> None:
+            # Bounded put: never block forever on a consumer that has gone
+            # away — re-check stop between attempts.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def worker():
             epoch = 0
             rng = np.random.default_rng(self.seed)
-            while not stop.is_set():
-                order = self._epoch_indices(epoch)
-                n_full = len(order) // self.batch_size
-                for b in range(n_full):
-                    if stop.is_set():
-                        return
-                    sel = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    # this host's contiguous slice of the global batch
-                    per_host = self.batch_size // self.num_hosts
-                    sel = sel[self.host_id * per_host : (self.host_id + 1) * per_host]
-                    try:
+            try:
+                while not stop.is_set():
+                    order = self._epoch_indices(epoch)
+                    n_full = len(order) // self.batch_size
+                    for b in range(n_full):
+                        if stop.is_set():
+                            return
+                        sel = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        # this host's contiguous slice of the global batch
+                        per_host = self.batch_size // self.num_hosts
+                        sel = sel[self.host_id * per_host : (self.host_id + 1) * per_host]
                         imgs, thumbs = zip(
                             *(self.dataset.__getitem__(int(i), rng) for i in sel)
                         )
-                    except ValueError:
-                        # Dataset torn down under us (record reader closed,
-                        # which raises instead of segfaulting): stop quietly.
-                        return
-                    item = (np.stack(imgs), np.stack(thumbs))
-                    # Bounded put: never block forever on a consumer that
-                    # has gone away — re-check stop between attempts.
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                epoch += 1
+                        put_bounded((np.stack(imgs), np.stack(thumbs)))
+                    epoch += 1
+            except BaseException as e:  # dataset torn down / corrupt record
+                # Fail LOUDLY at the consumer: a silent worker death would
+                # leave the training loop blocked in q.get() forever.
+                put_bounded((_DEAD, e))
+            else:
+                put_bounded((_DEAD, None))
 
         t = threading.Thread(target=worker, daemon=True)
         with self._lock:
@@ -112,7 +117,14 @@ class DataLoader:
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if item and item[0] is _DEAD:
+                    if item[1] is not None:
+                        raise RuntimeError(
+                            "DataLoader worker died"
+                        ) from item[1]
+                    return
+                yield item
         finally:
             stop.set()
             # Unblock a worker stuck in q.put by draining, then join.

@@ -209,9 +209,22 @@ def apply_gradual_style_encoder(
     return jnp.stack(latents, axis=1)
 
 
-def import_irse_state(state: Dict[str, np.ndarray], params: Params) -> Params:
+def import_irse_state(
+    state: Dict[str, np.ndarray], params: Params, partial: bool = False
+) -> Params:
     """Map a torch ``model_ir_se50.pth`` state dict onto the backbone tree
-    (OIHW -> HWIO convs; BN running stats included)."""
+    (OIHW -> HWIO convs; BN running stats included).
+
+    ``partial=True`` permits a subtree-only state dict (used by the golden
+    tests, which exercise one bottleneck block); without it a state dict
+    missing the input layer is an error — silently skipping it would leave
+    randomly initialized input weights in a "successfully" imported model.
+    """
+    if not partial and "input_layer.0.weight" not in state:
+        raise KeyError(
+            "input_layer.0.weight missing from ir_se state dict; pass "
+            "partial=True only for deliberate subtree imports"
+        )
     out = jax.tree_util.tree_map(lambda x: x, params)
 
     def conv_w(name):
@@ -223,7 +236,7 @@ def import_irse_state(state: Dict[str, np.ndarray], params: Params) -> Params:
         dst["mean"] = jnp.asarray(state[f"{prefix}.running_mean"])
         dst["var"] = jnp.asarray(state[f"{prefix}.running_var"])
 
-    if "input_layer.0.weight" in state:  # tolerate partial/subtree dicts
+    if "input_layer.0.weight" in state:
         out["input_conv"]["w"] = conv_w("input_layer.0.weight")
         set_bn(out["input_bn"], "input_layer.1")
         out["input_prelu"]["alpha"] = jnp.asarray(state["input_layer.2.weight"])

@@ -178,12 +178,20 @@ def render_program(
     cams = fixed_camera(cfg, n_samples)
     n_boxes = cfg.n_boxes
     # interpolation programs slerp toward ONE fixed target (reference
-    # render_interpolation: a fixed pair per segment, w in [0, 1])
-    codes2 = sample_latent_codes(k2, cfg, n_samples, tmp=0.65)
+    # render_interpolation: a fixed pair per segment, w in [0, 1]); only
+    # the programs that use these sample them (keys are dedicated, so
+    # laziness changes no other program's randomness)
+    codes2 = (
+        sample_latent_codes(k2, cfg, n_samples, tmp=0.65)
+        if program.startswith("interpolate_")
+        else None
+    )
     # circle program with >2 boxes keeps random transforms for the rest
     # (reference rendering.py:322-370)
     circle_trans = (
-        sample_transformations(k3, cfg.bbox, n_samples) if n_boxes > 2 else None
+        sample_transformations(k3, cfg.bbox, n_samples)
+        if program == "object_translation_circle" and n_boxes > 2
+        else None
     )
     # object_rotation sweeps the full range only when the config allows a
     # full turn (reference rendering.py:86-90)

@@ -161,8 +161,11 @@ def siren_field_fused_parts(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused evaluation returning ``(rgb [B,P,3], sdf [B,P,1], feat [B,P,W])``.
 
-    Matches ``apply_siren_generator_parts`` (tested to ~1e-5); P is padded
-    to a TILE multiple internally.
+    Matches ``apply_siren_generator_parts`` to ~1e-5 with
+    ``dot_dtype=float32``; the default bf16 configuration is held to
+    f32-ground-truth error no worse than the XLA bf16 path
+    (``tests/test_ops.py::test_fused_siren_kernel_bf16_default_quality``).
+    P is padded to a TILE multiple internally.
     """
     b, n, _ = pts.shape
     n_pad = (n + TILE - 1) // TILE * TILE

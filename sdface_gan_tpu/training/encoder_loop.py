@@ -98,15 +98,28 @@ def train_encoder_stage(args: Any, cfg: Any, out_base: str,
                              num_hosts=jax.process_count()))
 
     loss_utils = LossUtils()  # perceptual weights attach when provided
-    step = jax.jit(make_encoder_step(gcfg, ecfg, tx, loss_utils))
+    # Same mesh treatment as stages A/B (training/loop.py): the global
+    # batch is sharded over the mesh and GSPMD reduces the gradients, so
+    # multi-host runs stay replica-consistent with the host-sliced loader.
+    from ..parallel import data_parallel_jit, shard_batch
+    from .loop import _training_mesh
+    from .steps import TrainHParams as _HP
+
+    mesh = _training_mesh(_HP(batch=getattr(args, "batch", 8)))
+    step = data_parallel_jit(
+        make_encoder_step(gcfg, ecfg, tx, loss_utils), mesh,
+        batch_argnums=(4, 5),
+    )
     res = gcfg.renderer.out_im_res
 
     for i in range(iters):
         imgs, thumbs = next(loader)
         key, kc, ks = jax.random.split(key, 3)
-        cams = generate_camera_params(res, kc, batch=imgs.shape[0])
+        cams = generate_camera_params(res, kc, batch=getattr(args, "batch", 8))
         e_params, e_state, m = step(
-            e_params, g_ema, e_state, ks, jnp.asarray(imgs), jnp.asarray(thumbs),
+            e_params, g_ema, e_state, ks,
+            shard_batch(np.asarray(imgs), mesh),
+            shard_batch(np.asarray(thumbs), mesh),
             cams.extrinsics, cams.focal, cams.near, cams.far,
         )
         if i % log_every == 0:

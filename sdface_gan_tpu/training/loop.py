@@ -64,6 +64,16 @@ def _training_mesh(hp: "TrainHParams", mesh=None):
     if mesh is not None:
         return mesh
     devices = jax.devices()
+    if jax.process_count() > 1:
+        # Multi-process: trimming to a device PREFIX would drop whole
+        # hosts whose loaders still produce batch shards — the global
+        # batch must divide the full device set.
+        if hp.batch % len(devices):
+            raise ValueError(
+                f"multi-process run: global batch {hp.batch} must divide "
+                f"the {len(devices)}-device mesh"
+            )
+        return make_mesh(devices)
     n = len(devices)
     while hp.batch % n:
         n -= 1

@@ -135,7 +135,12 @@ class CheckpointIO:
         local = os.path.join(cache, f"{tag}_{base}")
         if not os.path.exists(local):
             print(f"=> Loading checkpoint from url... {url}")
-            urllib.request.urlretrieve(url, local)
+            # Download to a temp name and rename atomically: an interrupted
+            # fetch must not leave a truncated file that os.path.exists
+            # would treat as a valid cache hit forever after.
+            tmp = local + ".part"
+            urllib.request.urlretrieve(url, tmp)
+            os.replace(tmp, local)
         if base.endswith((".pt", ".pth")):
             import numpy as np
             import torch

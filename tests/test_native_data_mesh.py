@@ -139,6 +139,23 @@ def test_loader_reader_shutdown_stress(tmp_path):
         loader.close()
 
 
+def test_loader_worker_death_raises_at_consumer(tmp_path):
+    """A worker killed by dataset teardown must surface as an exception at
+    the consumer, not an eternal q.get() hang."""
+    in_dir = _make_image_dir(tmp_path, n=8, size=24)
+    store = str(tmp_path / "store")
+    prepare_data(in_dir, store, sizes=(16,), n_workers=1)
+    ds = MultiResolutionDataset(store, resolution=16, nerf_resolution=16)
+    loader = DataLoader(ds, batch_size=2, seed=0, prefetch=1)
+    it = iter(loader)
+    next(it)
+    ds.close()  # worker's next __getitem__ raises ValueError
+    with pytest.raises(RuntimeError, match="worker died"):
+        for _ in range(16):  # drain whatever was prefetched first
+            next(it)
+    loader.close()
+
+
 def test_dataset_hflip_consistency(tmp_path):
     """img and thumb must be flipped together (thumb derives from the
     flipped image, reference sdf_utils.py:436-441)."""

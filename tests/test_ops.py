@@ -341,3 +341,41 @@ def test_fused_siren_kernel_matches_reference():
                             interpret=True, dot_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_siren_kernel_bf16_default_quality():
+    """The kernel's PRODUCTION configuration (bf16 weight packing and
+    point stream — the default dot_dtype) must be at least as close to
+    the f32 ground truth as the XLA bf16 path is.
+
+    Element-wise agreement between the two bf16 paths is NOT expected:
+    they round at different points (the kernel keeps f32 accumulators;
+    the XLA path stores bf16 activations) and the gamma~30 FiLM
+    modulation amplifies rounding into sine-phase differences.  Quality
+    vs f32 is the meaningful contract.
+    """
+    from sdface_gan_tpu.models.siren import (
+        SirenConfig,
+        apply_siren_generator,
+        init_siren_generator,
+    )
+    from sdface_gan_tpu.ops.siren_kernel import siren_field_fused
+
+    cfg = SirenConfig(depth=3, width=256, style_dim=64)
+    p = init_siren_generator(jax.random.PRNGKey(0), cfg)
+    p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 700, 3)) * 0.5
+    views = jax.random.normal(jax.random.PRNGKey(2), (2, 700, 3))
+    style = jax.random.normal(jax.random.PRNGKey(3), (2, 64))
+    truth = np.asarray(apply_siren_generator(p, cfg, pts, views, style))
+    xla16 = np.asarray(
+        apply_siren_generator(p16, cfg, pts, views, style)
+    ).astype(np.float32)
+    kern16 = np.asarray(
+        siren_field_fused(p16, pts, views, style, depth=3, width=256,
+                          interpret=True)  # dot_dtype defaults to bf16
+    ).astype(np.float32)
+    err_xla = np.mean(np.abs(xla16 - truth))
+    err_kern = np.mean(np.abs(kern16 - truth))
+    assert err_kern <= 1.2 * err_xla + 1e-4, (err_kern, err_xla)
+    assert err_kern < 0.05, err_kern

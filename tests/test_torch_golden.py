@@ -140,7 +140,7 @@ def test_irse_bottleneck_import_golden(in_ch, depth, stride):
     state = {f"body.0.{k}": v.detach().numpy() for k, v in m.state_dict().items()}
 
     template = _init_bottleneck(jax.random.PRNGKey(0), in_ch, depth, stride, 4)
-    params = import_irse_state(state, {"body": [template]})["body"][0]
+    params = import_irse_state(state, {"body": [template]}, partial=True)["body"][0]
 
     x = RNG.standard_normal((2, in_ch, 14, 14)).astype(np.float32)
     with torch.no_grad():
