@@ -45,7 +45,7 @@ def main(argv=None) -> None:
     inc = load_inception(args.inception_weights)
     acts = compute_activations(inc, batches(), batch_size=args.batch)
     mu, sigma = calculate_activation_statistics(acts)
-    np.savez(args.out, mu=mu, sigma=sigma)
+    np.savez(args.out, mu=mu, sigma=sigma, img_size=args.img_size)
     print(f"wrote stats for {len(acts)} images to {args.out}")
 
 

@@ -115,7 +115,7 @@ def main(argv=None) -> None:
 
     fid_file = args.fid_file or cfg["data"].get("fid_file")
     if fid_file and os.path.exists(fid_file):
-        mu_r, s_r = load_stats_npz(fid_file)
+        mu_r, s_r = load_stats_npz(fid_file, expect_img_size=img_size)
         fid = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
         print(f"FID: {fid:.4f}")
     elif args.real_dir:

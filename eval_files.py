@@ -47,9 +47,18 @@ def main(argv=None) -> None:
                 yield np.stack(imgs)
 
     inc = load_inception(args.inception_weights)
-    acts = compute_activations(inc, batches(), batch_size=args.batch)
+    first = next(batches())
+    img_size = int(first.shape[1])
+
+    def all_batches():
+        yield first
+        it = batches()
+        next(it)  # skip the batch already yielded
+        yield from it
+
+    acts = compute_activations(inc, all_batches(), batch_size=args.batch)
     mu, sigma = calculate_activation_statistics(acts)
-    mu_r, s_r = load_stats_npz(args.fid_file)
+    mu_r, s_r = load_stats_npz(args.fid_file, expect_img_size=img_size)
     print(f"FID: {calculate_frechet_distance(mu, sigma, mu_r, s_r):.4f}")
 
 

@@ -121,9 +121,28 @@ def fid_from_activations(acts1: np.ndarray, acts2: np.ndarray) -> float:
     return calculate_frechet_distance(mu1, s1, mu2, s2)
 
 
-def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Load precomputed (mu, sigma) stats (reference ``fid_file`` .npz)."""
+def load_stats_npz(
+    path: str, expect_img_size: "int | None" = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Load precomputed (mu, sigma) stats (reference ``fid_file`` .npz).
+
+    ``expect_img_size``: the resolution of the images being scored.  Stats
+    written by ``calc_fid_stats.py`` record their ``img_size``; comparing
+    activations of differently-sized inputs silently produces garbage FID
+    (the inception resize path differs), so a recorded mismatch warns.
+    """
     with np.load(path) as f:
+        if expect_img_size is not None and "img_size" in f:
+            stored = int(f["img_size"])
+            if stored != expect_img_size:
+                import warnings
+
+                warnings.warn(
+                    f"FID stats in {path} were computed at img_size={stored} "
+                    f"but the scored images are {expect_img_size}px — the "
+                    "resulting FID is not meaningful; regenerate the stats "
+                    f"with --img_size {expect_img_size}."
+                )
         if "mu" in f:
             return f["mu"], f["sigma"]
         return f["m"], f["s"]
