@@ -57,6 +57,22 @@ def d_r1_loss(
     return jnp.mean(per_sample)
 
 
+def d_logits_and_r1(
+    d_fn: Callable[[jnp.ndarray], jnp.ndarray], real_img: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real logits AND the R1 penalty from ONE discriminator forward.
+
+    ``jax.vjp`` yields the primal logits alongside the pullback, so the D
+    forward on real images is not repeated (the reference reuses
+    ``real_pred`` the same way via ``autograd.grad``,
+    ``training_utils.py:377-387``).  Differentiable w.r.t. D's params.
+    """
+    logits, pullback = jax.vjp(d_fn, real_img)
+    (grad,) = pullback(jnp.ones_like(logits))
+    per_sample = jnp.sum(grad.reshape(grad.shape[0], -1) ** 2, axis=1)
+    return logits, jnp.mean(per_sample)
+
+
 def g_path_regularize(
     img_fn: Callable[[jnp.ndarray], jnp.ndarray],
     latents: jnp.ndarray,

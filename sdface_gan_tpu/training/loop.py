@@ -16,6 +16,7 @@ replicating the reference's stage contracts
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -41,7 +42,7 @@ from ..utils.checkpoints import (
 )
 from ..utils.images import save_image_grid
 from ..utils.logging import MetricsLogger
-from .ema import accumulate
+from .ema import EMA_DECAY, accumulate
 from .optim import decoder_only, stage_a_optimizers, stage_b_optimizers
 from .steps import (
     TrainHParams,
@@ -104,6 +105,26 @@ def copy_matching(dst: Params, src: Params) -> Params:
     return dst
 
 
+@functools.lru_cache(maxsize=8)
+def _sample_fns(gcfg: GeneratorConfig, truncation: float):
+    """Jitted (mean_latent, render_id) pair, cached per config — building
+    fresh ``jax.jit`` wrappers inside ``_sample_grid`` would re-trace the
+    full generator every ``sample_every`` iterations."""
+    from ..models.generator import mean_latent
+
+    jml = jax.jit(mean_latent, static_argnums=1)
+
+    @jax.jit
+    def render_id(params, z8, extr, focal, near, far, trunc):
+        out = generator_forward(
+            params, gcfg, [z8], extr, focal, near, far,
+            truncation=truncation, truncation_latent=trunc,
+        )
+        return out.rgb if out.rgb is not None else out.thumb_rgb
+
+    return jml, render_id
+
+
 def _sample_grid(
     g_ema: Params,
     gcfg: GeneratorConfig,
@@ -114,8 +135,6 @@ def _sample_grid(
 ) -> None:
     """Render an (identities x 8 sweep views) grid from the EMA generator
     (reference sample cadence, ``training_utils.py:473-499``)."""
-    from ..models.generator import mean_latent
-
     key = jax.random.PRNGKey(0)
     kz, km = jax.random.split(key)
     z = jax.random.normal(kz, (n_identities, hp.style_dim))
@@ -130,15 +149,8 @@ def _sample_grid(
         fov_ang=hp.camera.fov,
         dist_radius=hp.camera.dist_radius,
     )
-    trunc = jax.jit(mean_latent, static_argnums=1)(g_ema, gcfg, km)
-
-    @jax.jit
-    def render_id(params, z8, extr, focal, near, far):
-        out = generator_forward(
-            params, gcfg, [z8], extr, focal, near, far,
-            truncation=truncation, truncation_latent=trunc,
-        )
-        return out.rgb if out.rgb is not None else out.thumb_rgb
+    jml, render_id = _sample_fns(gcfg, truncation)
+    trunc = jml(g_ema, gcfg, km)
 
     rows = []
     for i in range(n_identities):  # one identity (8 sweep views) at a time
@@ -146,7 +158,7 @@ def _sample_grid(
         z8 = jnp.repeat(z[i : i + 1], 8, axis=0)
         rows.append(np.asarray(render_id(
             g_ema, z8, cams.extrinsics[sl], cams.focal[sl], cams.near[sl],
-            cams.far[sl],
+            cams.far[sl], trunc,
         )))
     save_image_grid(np.concatenate(rows, axis=0), path, nrow=8)
 
@@ -198,9 +210,10 @@ def train_volume_renderer(
         )
         g, d, g_ema = ck["g"], ck["d"], ck["g_ema"]
         g_state, d_state = ck["g_opt"], ck["d_opt"]
-        start_iter = int(ck["step"])
+        # checkpoints are written AFTER step i completes -> resume at i+1
+        start_iter = int(ck["step"]) + 1
         resumed = True
-        print(f"resumed volume renderer from step {start_iter}")
+        print(f"resumed volume renderer at step {start_iter}")
     elif checkpoint_exists(out_dir, "sdf_init_models"):
         ck = load_checkpoint(out_dir, "sdf_init_models", {"g": g, "g_ema": g_ema})
         g, g_ema = ck["g"], ck["g_ema"]
@@ -236,9 +249,13 @@ def train_volume_renderer(
 
     data = iter(loader)
     t_start = time.time()
+    # Per-iteration keys derive from the seed by fold_in(i), NOT from a
+    # sequentially split stream: a resumed run must see fresh randomness at
+    # step i, not a replay of the first segment's z/camera sequence.
+    adv_key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
     for i in range(start_iter, iters):
         _, thumbs = next(data)
-        key, k1, k2 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(jax.random.fold_in(adv_key, i))
         d, d_state, dm = d_step(g, d, d_state, k1, shard_batch(np.asarray(thumbs), mesh))
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
         if i % log_every == 0:
@@ -311,15 +328,24 @@ def train_full_pipeline(
         g_ema = ck["g_ema"]
         g_state, d_state = ck["g_opt"], ck["d_opt"]
         mean_path_length = ck["mean_path_length"]
-        start_iter = int(ck["step"])
-        print(f"resumed full pipeline from step {start_iter}")
+        # checkpoints are written AFTER step i completes -> resume at i+1
+        start_iter = int(ck["step"]) + 1
+        print(f"resumed full pipeline at step {start_iter}")
     else:
         # load the stage-A EMA weights (or the sphere init for --wod)
         src_dir = vol_renderer_dir or out_dir
-        if checkpoint_exists(src_dir, init_from):
-            prev = load_checkpoint(src_dir, init_from)
-            g = copy_matching(g, prev["g_ema"])
-            print(f"initialized renderer from {init_from}")
+        if not checkpoint_exists(src_dir, init_from):
+            # Failing silently here would train a FROZEN random renderer
+            # for the whole stage (freeze_renderer + decoder-only
+            # optimizer) — 300k wasted iterations.  The reference prompts
+            # on a missing pretrained renderer (training_utils.py:597-602).
+            raise FileNotFoundError(
+                f"stage-B init checkpoint '{init_from}' not found under "
+                f"{src_dir}; run stage A first (or sphere init for --wod)"
+            )
+        prev = load_checkpoint(src_dir, init_from)
+        g = copy_matching(g, prev["g_ema"])
+        print(f"initialized renderer from {init_from}")
         g_ema = jax.tree_util.tree_map(jnp.copy, g)
         mean_path_length = jnp.zeros(())
 
@@ -335,23 +361,31 @@ def train_full_pipeline(
         batch_argnums=(4,), donate_argnums=(1, 2),
     )
     g_step = data_parallel_jit(
-        make_stage_b_g_step(gcfg, dcfg, hp, g_tx), mesh, donate_argnums=(0, 2, 3)
+        make_stage_b_g_step(gcfg, dcfg, hp, g_tx), mesh, donate_argnums=(0, 2)
     )
     path_step = data_parallel_jit(
         make_stage_b_path_step(gcfg, hp, g_tx), mesh, donate_argnums=(0, 1)
     )
+    # EMA folds in once per iteration AFTER path regularization (reference
+    # training_utils.py:780) so path updates are never missing from g_ema.
+    ema_step = data_parallel_jit(
+        lambda e, gp: accumulate(e, gp, EMA_DECAY), mesh, donate_argnums=(0,)
+    )
 
     data = iter(loader)
     t_start = time.time()
+    # fold_in(i) keys: fresh randomness per step on resume (see stage A)
+    adv_key = jax.random.fold_in(jax.random.PRNGKey(seed), 2)
     for i in range(start_iter, iters):
         imgs, _ = next(data)
-        key, k1, k2, k3 = jax.random.split(key, 4)
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(adv_key, i), 3)
         d_step_fn = d_step_reg if i % hp.d_reg_every == 0 else d_step_plain
         d, d_state, dm = d_step_fn(g, d, d_state, k1, shard_batch(np.asarray(imgs), mesh))
-        g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
+        g, g_state, gm = g_step(g, d, g_state, k2)
         if hp.g_reg_every > 0 and i % hp.g_reg_every == 0:
             g, g_state, mean_path_length, pm = path_step(g, g_state, mean_path_length, k3)
             gm = {**gm, **pm}
+        g_ema = ema_step(g_ema, g)
         if i % log_every == 0:
             logger.log(i, {**dm, **gm})
         if sample_every and i % sample_every == 0:

@@ -23,17 +23,18 @@ both mixed and unmixed iterations — no retracing.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..geometry.cameras import CameraParams, generate_camera_params
 from ..losses.gan_losses import (
     d_logistic_loss,
-    d_r1_loss,
+    d_logits_and_r1,
     g_content_loss,
     g_nonsaturating_loss,
     g_path_regularize,
@@ -93,8 +94,10 @@ class TrainHParams:
 
 
 # The hardcoded stage-A smoothness bounding box (axis-aligned min/max),
-# reference ``training_utils.py:433-437``.
-SMOOTH_BBOX = jnp.array([[-1.0, 7.0], [-1.3, 3.7], [-1.7, 1.4]])
+# reference ``training_utils.py:433-437``.  np (not jnp): a module-level
+# jnp.array would initialize the JAX backend at import time, defeating the
+# post-import platform override this machine requires (CLAUDE.md).
+SMOOTH_BBOX = np.array([[-1.0, 7.0], [-1.3, 3.7], [-1.7, 1.4]], dtype=np.float32)
 
 
 def _sample_cameras(key: jax.Array, res: int, batch: int, cam: CameraHParams) -> CameraParams:
@@ -170,6 +173,10 @@ def make_stage_a_d_step(
     logistic loss + R1 (every step, weight r1/2) + viewpoint smooth-L1."""
 
     res = gcfg.renderer.out_im_res
+    # The viewpoint head is absent when view_lambda == 0 (reference
+    # ``viewpoint_condition``, training_utils.py:341): the D returns None
+    # for view predictions and the loss term must be skipped entirely.
+    use_view = hp.view_lambda > 0 and dcfg.viewpoint_head
 
     def step(
         g_params: Params,
@@ -188,13 +195,17 @@ def make_stage_a_d_step(
 
         def loss_fn(dp):
             fake_pred, fake_view = apply_volume_render_discriminator(dp, dcfg, fake)
-            d_view = hp.view_lambda * viewpoints_loss(fake_view, cams.viewpoint)
-            real_pred, _ = apply_volume_render_discriminator(dp, dcfg, real_thumbs)
-            gan = d_logistic_loss(real_pred, fake_pred)
-            penalty = d_r1_loss(
+            d_view = (
+                hp.view_lambda * viewpoints_loss(fake_view, cams.viewpoint)
+                if use_view
+                else jnp.zeros(())
+            )
+            # one D forward on real images yields both logits and R1
+            real_pred, penalty = d_logits_and_r1(
                 lambda img: apply_volume_render_discriminator(dp, dcfg, img)[0],
                 real_thumbs,
             )
+            gan = d_logistic_loss(real_pred, fake_pred)
             r1 = hp.r1 * 0.5 * penalty
             loss = gan + r1 + d_view
             return loss, {
@@ -227,6 +238,7 @@ def make_stage_a_g_step(
     is_ngp = gcfg.renderer.type == "ngp"
     use_eik = hp.eikonal_lambda > 0
     use_msurf = hp.min_surf_lambda > 0
+    use_view = hp.view_lambda > 0 and dcfg.viewpoint_head
 
     def step(
         g_params: Params,
@@ -256,7 +268,11 @@ def make_stage_a_g_step(
                 d_params, dcfg, out.thumb_rgb
             )
             g_gan = g_nonsaturating_loss(fake_pred)
-            g_view = hp.view_lambda * viewpoints_loss(fake_view, cams.viewpoint)
+            g_view = (
+                hp.view_lambda * viewpoints_loss(fake_view, cams.viewpoint)
+                if use_view
+                else jnp.zeros(())
+            )
             eik, msurf = eikonal_loss(
                 out.eikonal_term if use_eik else None,
                 out.sdf if use_msurf else None,
@@ -336,7 +352,13 @@ def make_stage_b_d_step(
 
         def loss_fn(dp):
             fake_pred = apply_style_discriminator(dp, dcfg, fake)
-            real_pred = apply_style_discriminator(dp, dcfg, real_imgs)
+            if regularize:
+                # one D forward on real images yields both logits and R1
+                real_pred, penalty = d_logits_and_r1(
+                    lambda img: apply_style_discriminator(dp, dcfg, img), real_imgs
+                )
+            else:
+                real_pred = apply_style_discriminator(dp, dcfg, real_imgs)
             gan = d_logistic_loss(real_pred, fake_pred)
             metrics = {
                 "d": gan,
@@ -345,9 +367,6 @@ def make_stage_b_d_step(
             }
             loss = gan
             if regularize:
-                penalty = d_r1_loss(
-                    lambda img: apply_style_discriminator(dp, dcfg, img), real_imgs
-                )
                 r1 = hp.r1 * 0.5 * penalty * hp.d_reg_every
                 loss = loss + r1
                 metrics["r1"] = r1
@@ -371,11 +390,11 @@ def make_stage_b_g_step(
     dcfg: StyleDiscConfig,
     hp: TrainHParams,
     g_tx: optax.GradientTransformation,
-    ema_decay: float = EMA_DECAY,
     content_lambda: float = 0.001,
 ):
     """Reference ``training_utils.py:721-745``: G nonsat + content loss
-    against the 4x-nearest-upsampled thumb, then EMA."""
+    against the 4x-nearest-upsampled thumb.  EMA accumulation happens in
+    the LOOP after path regularization (see the note in ``step``)."""
 
     res = gcfg.renderer.out_im_res
     n_latent = gcfg.decoder.n_latent
@@ -385,7 +404,6 @@ def make_stage_b_g_step(
         g_params: Params,
         d_params: Params,
         g_opt_state,
-        ema_params: Params,
         key: jax.Array,
     ):
         kz, kc, kr = jax.random.split(key, 3)
@@ -414,8 +432,11 @@ def make_stage_b_g_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
         updates, g_opt_state = g_tx.update(grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
-        ema_params = accumulate(ema_params, g_params, ema_decay)
-        return g_params, g_opt_state, ema_params, metrics
+        # NOTE: stage B does NOT fold the EMA in here — the reference
+        # accumulates once per iteration AFTER path regularization
+        # (training_utils.py:780), which updates the decoder again on
+        # g_reg_every iterations.  The loop applies accumulate separately.
+        return g_params, g_opt_state, metrics
 
     return step
 

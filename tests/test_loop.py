@@ -101,6 +101,13 @@ def test_stage_b_exit_after_resume_preserves_path_state(tmp_path):
     from sdface_gan_tpu.utils.checkpoints import load_checkpoint
 
     out = str(tmp_path / "fp")
+    # stage B refuses to start without the stage-A artifact (a silent
+    # fallthrough would freeze a random renderer): provide one.
+    from sdface_gan_tpu.models.generator import init_generator
+    from sdface_gan_tpu.utils.checkpoints import save_checkpoint
+
+    g0 = init_generator(jax.random.PRNGKey(7), B_GCFG)
+    save_checkpoint(out, "vol_renderer", {"g_ema": g0})
     # exit_after=0 -> the time budget trips after iteration 0 completes,
     # saving models_0000000 and raising SystemExit(3).
     with pytest.raises(SystemExit) as exc:

@@ -57,6 +57,27 @@ def _finite(tree):
     )
 
 
+def test_stage_a_steps_without_viewpoint_head():
+    """view_lambda=0 disables the D viewpoint head (config/build.py:63);
+    both stage-A steps must skip the viewpoint loss instead of calling
+    viewpoints_loss(None, ...) (regression: trace-time TypeError)."""
+    hp = TrainHParams(batch=2, style_dim=16, view_lambda=0.0)
+    dcfg = VolumeRenderDiscConfig(in_res=8, viewpoint_head=False)
+    g = init_generator(KEY, A_GCFG)
+    d = init_volume_render_discriminator(jax.random.PRNGKey(1), dcfg)
+    g_tx, d_tx = stage_a_optimizers()
+    g_state, d_state = g_tx.init(g), d_tx.init(d)
+    ema = jax.tree_util.tree_map(jnp.copy, g)
+    thumbs = jax.random.uniform(KEY, (2, 8, 8, 3)) * 2 - 1
+
+    d_step = jax.jit(make_stage_a_d_step(A_GCFG, dcfg, hp, d_tx))
+    g_step = jax.jit(make_stage_a_g_step(A_GCFG, dcfg, hp, g_tx))
+    d, d_state, dm = d_step(g, d, d_state, jax.random.PRNGKey(2), thumbs)
+    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(3))
+    assert float(dm["d_view"]) == 0.0 and float(gm["g_view"]) == 0.0
+    assert _finite(g) and _finite(d)
+
+
 def test_sphere_init_step_reduces_loss():
     g = init_generator(KEY, A_GCFG)
     g_tx = optax.adam(1e-2)
@@ -133,7 +154,7 @@ def test_stage_b_steps_and_decoder_only_freeze():
     assert "r1" not in dm2
 
     g_before = jax.tree_util.tree_map(jnp.copy, g)
-    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(3))
+    g, g_state, gm = g_step(g, d, g_state, jax.random.PRNGKey(3))
     assert "g" in gm and "g_content" in gm
     # renderer + mapping frozen, decoder updated
     r_delta = jax.tree_util.tree_map(
