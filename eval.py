@@ -71,33 +71,54 @@ def main(argv=None) -> None:
 
     res = gcfg.renderer.out_im_res
 
-    @jax.jit
-    def sample(params, z, extr, focal, near, far, key):
+    # Data-parallel generation: the 5000-image protocol is embarrassingly
+    # parallel, so the batch (z + cameras) shards over every device that
+    # divides it; params replicate; one chip degenerates to plain jit.
+    from sdface_gan_tpu.parallel import data_parallel_jit, make_mesh, replicate
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    while args.batch % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(devices[:n_dev])
+    if n_dev > 1:
+        print(f"eval sampling data-parallel over {n_dev} devices")
+    g_ema = replicate(g_ema, mesh)
+
+    def _sample(params, z, extr, focal, near, far, key):
         out = generator_forward(params, gcfg, [z], extr, focal, near, far, key=key)
         return out.rgb
 
-    key = jax.random.PRNGKey(0)
-    t0 = time.time()
-    n_done = 0
-    fakes = []
-    while n_done < args.n_images:
-        b = min(args.batch, args.n_images - n_done)
-        key, kz, kc, kr = jax.random.split(key, 4)
-        z = jax.random.normal(kz, (args.batch, gcfg.style_dim))
-        cams = generate_camera_params(res, kc, batch=args.batch)
-        imgs = np.asarray(
-            sample(g_ema, z, cams.extrinsics, cams.focal, cams.near, cams.far, kr)
-        )[:b]
-        for i in range(b):
-            save_image(imgs[i], os.path.join(eval_dir, f"{n_done + i:07d}.png"))
-        # keep fp16 on host: 5000 x 256^2 images would be ~4 GB in fp32
-        fakes.append(imgs.astype(np.float16))
-        n_done += b
-    dt = time.time() - t0
-    print(f"generated {n_done} images in {dt:.1f}s "
-          f"({dt / max(n_done, 1):.3f} s/image)")
+    sample = data_parallel_jit(_sample, mesh, batch_argnums=(1, 2, 3, 4, 5))
+
+    stats = {"n": 0, "dt": 0.0}
+
+    def generated_batches():
+        """Generate + dump PNGs, yielding each batch for streaming FID
+        activation computation — no 5000-image host buffer."""
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        n_done = 0
+        while n_done < args.n_images:
+            b = min(args.batch, args.n_images - n_done)
+            key, kz, kc, kr = jax.random.split(key, 4)
+            z = jax.random.normal(kz, (args.batch, gcfg.style_dim))
+            cams = generate_camera_params(res, kc, batch=args.batch)
+            imgs = np.asarray(
+                sample(g_ema, z, cams.extrinsics, cams.focal, cams.near,
+                       cams.far, kr)
+            )[:b]
+            for i in range(b):
+                save_image(imgs[i], os.path.join(eval_dir, f"{n_done + i:07d}.png"))
+            n_done += b
+            stats["n"], stats["dt"] = n_done, time.time() - t0
+            yield imgs
 
     if args.no_fid:
+        for _ in generated_batches():
+            pass
+        print(f"generated {stats['n']} images in {stats['dt']:.1f}s "
+              f"({stats['dt'] / max(stats['n'], 1):.3f} s/image)")
         return
 
     from sdface_gan_tpu.evaluation import (
@@ -110,7 +131,11 @@ def main(argv=None) -> None:
     )
 
     inc = load_inception(args.inception_weights)
-    fake_acts = compute_activations(inc, fakes, batch_size=args.batch)
+    # streaming: each generated batch feeds inception immediately; host
+    # memory stays flat in image count (only the 2048-d activations persist)
+    fake_acts = compute_activations(inc, generated_batches(), batch_size=args.batch)
+    print(f"generated {stats['n']} images in {stats['dt']:.1f}s "
+          f"({stats['dt'] / max(stats['n'], 1):.3f} s/image, incl. streaming FID)")
     mu_f, s_f = calculate_activation_statistics(fake_acts)
 
     fid_file = args.fid_file or cfg["data"].get("fid_file")

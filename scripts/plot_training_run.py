@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Render docs/img/training_curves.png from a stage-A metrics JSONL.
+
+Small multiples, one metric per axis (never dual-axis); two-series panels
+(viewpoint, D scores) use the validated adjacent categorical pair
+blue/orange with a legend; single-series panels are blue with the panel
+title naming the series.  Raw series drawn faint with a rolling-mean
+overlay so the trend reads without hiding variance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+BLUE, ORANGE = "#2a78d6", "#eb6834"
+INK, MUTED, GRID = "#1a1a1a", "#555555", "#e3e3e3"
+
+
+def load(path):
+    rows = [json.loads(line) for line in open(path)]
+    series = {}
+    for r in rows:
+        for k, v in r.items():
+            if k == "time":
+                continue
+            series.setdefault(k, []).append((r["step"], v))
+    return {k: np.asarray(v) for k, v in series.items()}
+
+
+def smooth(y, w=9):
+    if len(y) < w:
+        return y
+    k = np.ones(w) / w
+    pad = np.concatenate([np.full(w // 2, y[0]), y, np.full(w // 2, y[-1])])
+    return np.convolve(pad, k, mode="valid")
+
+
+def panel(ax, series, keys, title, colors=(BLUE, ORANGE), labels=None):
+    for (key, c, lbl) in zip(keys, colors, labels or keys):
+        if key not in series:
+            continue
+        s = series[key]
+        ax.plot(s[:, 0], s[:, 1], color=c, lw=0.8, alpha=0.3)
+        ax.plot(s[:, 0], smooth(s[:, 1]), color=c, lw=1.8, label=lbl)
+    ax.set_title(title, fontsize=10, color=INK, loc="left")
+    ax.grid(color=GRID, lw=0.6)
+    ax.tick_params(colors=MUTED, labelsize=8)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_color(GRID)
+    if labels and len([k for k in keys if k in series]) > 1:
+        ax.legend(fontsize=8, frameon=False, labelcolor=MUTED)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--metrics", default="out/synth64_sdf/vol_render_metrics.jsonl")
+    p.add_argument("--out", default="docs/img/training_curves.png")
+    args = p.parse_args(argv)
+
+    series = load(args.metrics)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    fig, axes = plt.subplots(2, 3, figsize=(12, 6.2), dpi=150)
+    fig.patch.set_facecolor("white")
+    panel(axes[0, 0], series, ["d", "g"], "Adversarial losses",
+          labels=["D logistic", "G non-saturating"])
+    panel(axes[0, 1], series, ["real_score", "fake_score"], "D scores",
+          labels=["real", "fake"])
+    panel(axes[0, 2], series, ["r1"], "R1 gradient penalty")
+    panel(axes[1, 0], series, ["d_view", "g_view"], "Viewpoint loss",
+          labels=["D branch", "G branch"])
+    panel(axes[1, 1], series, ["g_eikonal"], "Eikonal term (weighted)")
+    panel(axes[1, 2], series, ["beta"], "Sigmoid beta (SDF sharpness)")
+    axes[1, 2].set_yscale("log")
+    for ax in axes[1]:
+        ax.set_xlabel("iteration", fontsize=9, color=MUTED)
+    fig.tight_layout()
+    fig.savefig(args.out, bbox_inches="tight")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,11 +93,25 @@ def main(argv=None) -> None:
     g_ema = ck["g_ema"]
     surf_params = copy_matching(init_generator(jax.random.PRNGKey(0), surf_cfg), g_ema)
 
-    trunc = mean_latent(g_ema, gcfg, jax.random.PRNGKey(1))
-    surf_trunc = (trunc[0], None)
+    # Mesh over every device that divides BOTH the 8-view sweep batch and
+    # the probe's ray rows (surface_res % n == 0); a v5e-8 renders each
+    # view / each 16-row band on its own chip, one chip degenerates to jit.
+    from sdface_gan_tpu.models.generator import map_style
+    from sdface_gan_tpu.parallel import data_parallel_jit, make_mesh, replicate
+    from sdface_gan_tpu.parallel.rays import render_ray_sharded
 
-    @jax.jit
-    def render_views(params, z, extr, focal, near, far):
+    devices = jax.devices()
+    n_dev = len(devices)
+    while 8 % n_dev or args.surface_res % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(devices[:n_dev])
+    if n_dev > 1:
+        print(f"rendering data-parallel over {n_dev} devices")
+    g_ema, surf_params = replicate((g_ema, surf_params), mesh)
+
+    trunc = mean_latent(g_ema, gcfg, jax.random.PRNGKey(1))
+
+    def _render_views(params, z, extr, focal, near, far):
         out = generator_forward(
             params, gcfg, [z], extr, focal, near, far,
             truncation=args.truncation_ratio, truncation_latent=trunc,
@@ -105,12 +119,19 @@ def main(argv=None) -> None:
         )
         return out.rgb, out.thumb_rgb
 
+    # 8 sweep views batch-sharded over the mesh
+    render_views = data_parallel_jit(_render_views, mesh,
+                                     batch_argnums=(1, 2, 3, 4, 5))
+
     @jax.jit
     def probe_surface(params, z, extr, focal, near, far):
-        out = generator_forward(
-            params, surf_cfg, [z], extr, focal, near, far,
-            truncation=args.truncation_ratio, truncation_latent=surf_trunc,
-            return_sdf=True, return_xyz=True,
+        """128^2 x 128-sample SDF probe with ray ROWS sharded over the mesh
+        (replaces the reference's host-side chunk loop, sdf_mesh.py:128-157)."""
+        style = map_style(params, z)
+        style = trunc[0] + args.truncation_ratio * (style - trunc[0])
+        out = render_ray_sharded(
+            params["renderer"], surf_cfg.renderer, focal, extr, near, far,
+            style, mesh=mesh,
         )
         return out.sdf
 

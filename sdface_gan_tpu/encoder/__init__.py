@@ -15,6 +15,7 @@ from .irse import (
 from .id_loss import id_loss
 from .lpips import LPIPSConfig, apply_lpips, init_lpips
 from .losses import LossUtils
+from .psp import PSPConfig, apply_psp_encoder, init_psp_encoder
 
 __all__ = [
     "VAEEncoderConfig",
@@ -31,4 +32,7 @@ __all__ = [
     "init_lpips",
     "apply_lpips",
     "LossUtils",
+    "PSPConfig",
+    "init_psp_encoder",
+    "apply_psp_encoder",
 ]

@@ -31,7 +31,8 @@ IR50_BLOCKS = [(64, 64, 3), (64, 128, 4), (128, 256, 14), (256, 512, 3)]
 
 @dataclass(frozen=True)
 class IRSEConfig:
-    input_size: int = 112
+    input_size: int = 112      # ArcFace identity-embedding input
+    psp_input_size: int = 256  # pSp GradualStyleEncoder input (FPN taps)
     se_reduct: int = 16
     style_count: int = 6
     coarse_ind: int = 1
@@ -60,6 +61,10 @@ def _apply_prelu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _init_bottleneck(key, in_ch: int, depth: int, stride: int, reduct: int) -> Params:
+    # NOTE: stride is NOT stored in the tree (an int leaf would poison
+    # jax.grad over encoder params); apply passes it explicitly from the
+    # static IR50 block plan (_ir50_strides).
+    del stride
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     p: Params = {
         "res_bn1": _bn(in_ch),
@@ -69,7 +74,6 @@ def _init_bottleneck(key, in_ch: int, depth: int, stride: int, reduct: int) -> P
         "res_bn2": _bn(depth),
         "se_fc1": _torch_conv(k3, depth, depth // reduct, 1, bias=False),
         "se_fc2": _torch_conv(k4, depth // reduct, depth, 1, bias=False),
-        "stride": stride,
     }
     if in_ch != depth:
         p["shortcut_conv"] = _torch_conv(k5, in_ch, depth, 1, bias=False)
@@ -77,8 +81,15 @@ def _init_bottleneck(key, in_ch: int, depth: int, stride: int, reduct: int) -> P
     return p
 
 
-def _apply_bottleneck(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    stride = p["stride"]
+def _ir50_strides() -> List[int]:
+    """Per-block strides of the ir-50 body: 2 on each stage head, else 1."""
+    out: List[int] = []
+    for _, _, num in IR50_BLOCKS:
+        out.extend([2] + [1] * (num - 1))
+    return out
+
+
+def _apply_bottleneck(p: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     if "shortcut_conv" in p:
         shortcut = _apply_bn(p["shortcut_bn"], _conv(p["shortcut_conv"], x, stride=stride))
     else:
@@ -123,8 +134,8 @@ def apply_irse_backbone(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     (reference ``model_irse.py:10-84``)."""
     h = _conv(p["input_conv"], x, padding=1)
     h = _apply_prelu(p["input_prelu"], _apply_bn(p["input_bn"], h))
-    for block in p["body"]:
-        h = _apply_bottleneck(block, h)
+    for block, stride in zip(p["body"], _ir50_strides()):
+        h = _apply_bottleneck(block, h, stride)
     h = _apply_bn(p["out_bn"], h)
     # NHWC -> torch NCHW flatten order for weight-import parity
     flat = h.transpose(0, 3, 1, 2).reshape(h.shape[0], -1)
@@ -164,8 +175,16 @@ def init_gradual_style_encoder(key: jax.Array, cfg: IRSEConfig = IRSEConfig()) -
     backbone = init_irse_backbone(kb, cfg)
     style_keys = jax.random.split(ks, cfg.style_count)
     styles = []
+    # FPN tap resolutions scale with the input (reference hardcodes
+    # 16/32/64 for 256^2 inputs, ``psp_encoders.py:62-70``; deriving them
+    # as input/16, /8, /4 keeps 256^2 identical and makes other sizes work)
     for i in range(cfg.style_count):
-        spatial = 16 if i < cfg.coarse_ind else (32 if i < cfg.middle_ind else 64)
+        if i < cfg.coarse_ind:
+            spatial = cfg.psp_input_size // 16
+        elif i < cfg.middle_ind:
+            spatial = cfg.psp_input_size // 8
+        else:
+            spatial = cfg.psp_input_size // 4
         styles.append(_init_style_block(style_keys[i], 512, 512, spatial))
     return {
         "backbone": backbone,
@@ -188,8 +207,9 @@ def apply_gradual_style_encoder(
     h = _conv(bb["input_conv"], x, padding=1)
     h = _apply_prelu(bb["input_prelu"], _apply_bn(bb["input_bn"], h))
     c1 = c2 = c3 = None
+    strides = _ir50_strides()
     for i, block in enumerate(bb["body"]):
-        h = _apply_bottleneck(block, h)
+        h = _apply_bottleneck(block, h, strides[i])
         if i == 6:
             c1 = h
         elif i == 20:

@@ -133,8 +133,19 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         fid_best = float(state["fid_best"])
         print(f"resumed GIRAFFE from iteration {it}")
 
-    d_step = jax.jit(make_giraffe_d_step(gcfg, dcfg, hp, d_tx))
-    g_step = jax.jit(make_giraffe_g_step(gcfg, dcfg, hp, g_tx))
+    # Data-parallel over the mesh like the SDF stages (training/loop.py):
+    # params replicated, the real batch sharded on its leading dim, gradient
+    # reduction a GSPMD psum over ICI.
+    from ..parallel import data_parallel_jit, replicate, shard_batch
+    from ..training.loop import _training_mesh
+    from ..training.steps import TrainHParams as _HP
+
+    mesh = _training_mesh(_HP(batch=hp.batch_size))
+    g, d, g_ema, g_state, d_state = replicate((g, d, g_ema, g_state, d_state), mesh)
+    d_step = data_parallel_jit(make_giraffe_d_step(gcfg, dcfg, hp, d_tx), mesh,
+                               batch_argnums=(4,), donate_argnums=(1, 2))
+    g_step = data_parallel_jit(make_giraffe_g_step(gcfg, dcfg, hp, g_tx), mesh,
+                               donate_argnums=(0, 2, 3))
 
     use_vae = bool(getattr(args, "vae", 0))
     if use_vae:
@@ -148,12 +159,14 @@ def train_giraffe(args: Any, cfg: Any) -> None:
         e = init_vae_encoder(ke, ecfg)
         e_tx = optax.adam(5e-4)
         e_state = e_tx.init(e)
-        e_step = jax.jit(make_giraffe_encoder_step(gcfg, dcfg, hp, e_tx))
         # the encoder is its own named artifact (render.py --vae loads it)
         if ckpt.exists("encoder"):
             est = ckpt.load("encoder", {"e": e, "e_opt": e_state})
             e, e_state = est["e"], est["e_opt"]
             print("resumed VAE encoder")
+        e, e_state = replicate((e, e_state), mesh)
+        e_step = data_parallel_jit(make_giraffe_encoder_step(gcfg, dcfg, hp, e_tx),
+                                   mesh, batch_argnums=(5,), donate_argnums=(0, 3))
 
     max_it = tr.get("max_it", 1000000)
     exit_after = getattr(args, "exit_after", -1)
@@ -161,7 +174,7 @@ def train_giraffe(args: Any, cfg: Any) -> None:
     while it < max_it:
         it += 1
         batch = next(loader)  # [B, H, W, 3] in [0,1] (or [-1,1] tanh)
-        x_real = jnp.asarray(batch)
+        x_real = shard_batch(np.asarray(batch), mesh)
         key, k1, k2, k3 = jax.random.split(key, 4)
         d, d_state, dm = d_step(g, d, d_state, k1, x_real)
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)

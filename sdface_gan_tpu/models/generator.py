@@ -142,6 +142,7 @@ def generator_forward(
     return_eikonal: bool = False,
     randomize_noise: bool = True,
     decoder_noise: Optional[List[Optional[jnp.ndarray]]] = None,
+    renderer_latent: Optional[jnp.ndarray] = None,
 ) -> GeneratorOutput:
     """Full generator forward (reference ``Generator.forward``,
     ``sdf_model.py:1163-1216``).
@@ -163,7 +164,15 @@ def generator_forward(
     if key is not None:
         rkey, dkey = jax.random.split(key)
 
-    latent0 = latents[0][:, 0] if (input_is_latent and latents[0].ndim == 3) else latents[0]
+    # The reference slices ``latent[0][:, 0]`` for the renderer
+    # (``sdf_model.py:1183-1185``) — dimensionally broken for its own pSp
+    # W+ stack (512-d style into a 256-d renderer).  ``renderer_latent``
+    # lets an inversion encoder supply a correctly-sized renderer style
+    # (see encoder/psp.py) while W+ drives the decoder.
+    if renderer_latent is not None:
+        latent0 = renderer_latent
+    else:
+        latent0 = latents[0][:, 0] if (input_is_latent and latents[0].ndim == 3) else latents[0]
     out: RenderOutput = render(
         params["renderer"],
         rcfg,

@@ -56,18 +56,35 @@ def render_ray_sharded(
     )
     scale = jnp.broadcast_to(2.0 / (far_b - near_b), (batch, 1, 1, 1))
 
-    if not cfg.output_features:
-        raise ValueError("render_ray_sharded expects a feature-output renderer")
-
     def band(origins, dirs, views, z_band, scale_band, style_loc):
         pts = origins[..., None, :] + dirs[..., None, :] * z_band[..., None]
         normalized = pts * scale_band[..., None] if cfg.z_normalize else pts
         v = jnp.broadcast_to(views[..., None, :], pts.shape)
         parts = _apply_network(params, cfg, normalized, v, style_loc)
-        rgb, features, _, _, _ = _integrate(params, cfg, parts, z_band, dirs, pts)
-        return rgb, features
+        rgb, features, sdf, mask, xyz = _integrate(
+            params, cfg, parts, z_band, dirs, pts
+        )
+        # dict of the non-None outputs: every entry is image-row sharded,
+        # and the static cfg fixes the pytree structure for shard_map
+        out = {"rgb": rgb}
+        if features is not None:
+            out["features"] = features
+        if sdf is not None:
+            out["sdf"] = sdf
+        if mask is not None:
+            out["mask"] = mask
+        if xyz is not None:
+            out["xyz"] = xyz
+        return out
 
     spec_ray = P(None, axis_name)  # shard the H (row) axis
+    out_keys = ["rgb"]
+    if cfg.output_features:
+        out_keys.append("features")
+    if cfg.return_sdf:
+        out_keys.append("sdf")
+    if cfg.return_xyz:
+        out_keys.extend(["mask", "xyz"])
     # The replication checker (check_rep pre-0.9, check_vma 0.9+) rejects
     # the closed-over replicated params; disable whichever this jax has.
     import inspect
@@ -81,13 +98,16 @@ def render_ray_sharded(
         band,
         mesh=mesh,
         in_specs=(spec_ray, spec_ray, spec_ray, spec_ray, P(None), P(None)),
-        out_specs=(spec_ray, spec_ray),
+        out_specs={k: spec_ray for k in sorted(out_keys)},
         **{flag: False},
     )
-    rgb, features = sharded(
+    out = sharded(
         rays.origins, rays.directions, rays.viewdirs, z_vals, scale, style
     )
-    return RenderOutput(rgb, features, None, None, None, None)
+    return RenderOutput(
+        out["rgb"], out.get("features"), out.get("sdf"), out.get("mask"),
+        out.get("xyz"), None,
+    )
 
 
 def place_ray_sharded(x: jnp.ndarray, mesh: Mesh, axis_name: str = "data"):

@@ -42,7 +42,12 @@ class SDFaceSampler:
         truncation: float = 0.7,
         use_fused_kernel: bool = False,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — params are replicated
+        and the sample batch is sharded on its leading dim (GSPMD data
+        parallelism), so a v5e-8 serves 8x the single-chip throughput.
+        ``batch`` must divide the mesh size."""
         # use_fused_kernel=False is the measured-faster default: on v5e the
         # XLA SIREN field runs 53 ms vs 76 ms for the Pallas fused kernel
         # (batch 32, bf16) — XLA interleaves the sine epilogue with MXU
@@ -50,9 +55,18 @@ class SDFaceSampler:
         if use_fused_kernel and cfg.renderer.type == "sdf":
             cfg = replace(cfg, renderer=replace(cfg.renderer, use_fused_kernel=True))
         self.cfg = cfg
-        self.params = params
         self.batch = batch
         self.truncation = truncation
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import replicate
+
+            if batch % mesh.devices.size:
+                raise ValueError(
+                    f"batch {batch} must divide the {mesh.devices.size}-device mesh"
+                )
+            params = replicate(params, mesh)
+        self.params = params
         self._trunc = jax.jit(mean_latent, static_argnums=1)(
             params, cfg, jax.random.PRNGKey(seed)
         )
@@ -65,7 +79,14 @@ class SDFaceSampler:
             )
             return out.rgb if out.rgb is not None else out.thumb_rgb
 
-        self._fn = jax.jit(_sample)
+        if mesh is not None:
+            from .parallel import data_parallel_jit
+
+            # z + camera tensors batch-sharded, params replicated
+            self._fn = data_parallel_jit(_sample, mesh,
+                                         batch_argnums=(1, 2, 3, 4, 5))
+        else:
+            self._fn = jax.jit(_sample)
 
     @classmethod
     def from_checkpoint(

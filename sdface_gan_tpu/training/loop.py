@@ -259,7 +259,12 @@ def train_volume_renderer(
         d, d_state, dm = d_step(g, d, d_state, k1, shard_batch(np.asarray(thumbs), mesh))
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
         if i % log_every == 0:
-            logger.log(i, {**{k: v for k, v in dm.items()}, **gm})
+            # track the learned sigma sharpness beta = sigmoid(-sdf/b)/b —
+            # its downward anneal is the SDF-is-tightening health signal
+            beta = {}
+            if "sigmoid_beta" in g.get("renderer", {}):
+                beta["beta"] = float(np.asarray(g["renderer"]["sigmoid_beta"])[0])
+            logger.log(i, {**{k: v for k, v in dm.items()}, **gm, **beta})
         if sample_every and i % sample_every == 0:
             _sample_grid(g_ema, gcfg, hp, os.path.join(out_dir, f"samples_{i:07d}.png"))
         if save_every and i and i % save_every == 0:

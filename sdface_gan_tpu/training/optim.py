@@ -82,11 +82,64 @@ def gradient_centralization() -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper holding the slow weights in optimizer STATE
+    (``optax.lookahead`` instead forces a LookaheadParams fast/slow pytree
+    onto the training loop — incompatible with plain-params loops like
+    stage C).  Every ``sync_period`` steps the slow weights take an
+    ``alpha`` step toward the fast weights and the fast weights reset to
+    them; expressed as ``updates = new_fast - params`` so it composes as a
+    standard GradientTransformation."""
+
+    def init(params):
+        import jax
+        import jax.numpy as jnp
+
+        return {
+            "inner": inner.init(params),
+            # a REAL copy: aliasing the param buffers here would make
+            # donate_argnums=(params, opt_state) donate one buffer twice
+            "slow": jax.tree_util.tree_map(jnp.copy, params),
+            "step": jnp_zeros_int(),
+        }
+
+    def update(updates, state, params):
+        import jax
+        import jax.numpy as jnp
+
+        if params is None:
+            raise ValueError("lookahead requires params in update()")
+        u, inner_state = inner.update(updates, state["inner"], params)
+        fast = optax.apply_updates(params, u)
+        step = state["step"] + 1
+        sync = (step % sync_period == 0).astype(jnp.float32)
+
+        # on sync steps the slow weights advance alpha toward fast and the
+        # fast weights reset to them; otherwise both stay put
+        new_slow = jax.tree_util.tree_map(
+            lambda s, f: s + sync * slow_step_size * (f - s), state["slow"], fast
+        )
+        new_fast = jax.tree_util.tree_map(
+            lambda f, ns: (1.0 - sync) * f + sync * ns, fast, new_slow
+        )
+        final_updates = jax.tree_util.tree_map(lambda nf, p: nf - p, new_fast, params)
+        return final_updates, {"inner": inner_state, "slow": new_slow, "step": step}
+
+    return optax.GradientTransformation(init, update)
+
+
+def jnp_zeros_int():
+    import jax.numpy as jnp
+
+    return jnp.zeros((), jnp.int32)
+
+
 def ranger(lr: float = 1e-4, sync_period: int = 6, slow_step_size: float = 0.5):
     """Ranger = gradient centralization + RAdam + Lookahead (reference
     ``encoder/ranger.py``, 163 LoC; defaults k=6, alpha=0.5)."""
     inner = optax.chain(gradient_centralization(), optax.radam(lr))
-    return optax.lookahead(inner, sync_period=sync_period, slow_step_size=slow_step_size)
+    return lookahead(inner, sync_period=sync_period, slow_step_size=slow_step_size)
 
 
 def encoder_optimizer(vae: bool = True) -> optax.GradientTransformation:

@@ -33,11 +33,26 @@ def test_gradient_centralization_zero_mean():
     out, _ = gc.update(g, gc.init(g))
     np.testing.assert_allclose(np.asarray(out["w"].mean(axis=1)), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out["b"]), 1.0)  # 1-D untouched
-    # ranger chain builds and steps
-    tx = ranger(1e-3)
-    params = optax.LookaheadParams.init_synced({"w": jnp.ones((3, 3))})
+    # ranger steps on PLAIN params (lookahead slow weights live in the
+    # optimizer state, not a LookaheadParams wrapper)
+    tx = ranger(1e-3, sync_period=2, slow_step_size=0.5)
+    params = {"w": jnp.ones((3, 3))}
     state = tx.init(params)
-    updates, state = tx.update({"w": jnp.ones((3, 3))}, state, params)
+    grads = {"w": jnp.ones((3, 3))}
+    # step 1: no sync — behaves like the inner optimizer
+    u1, state = tx.update(grads, state, params)
+    p1 = optax.apply_updates(params, u1)
+    # step 2: sync — params snap to slow + 0.5 * (fast - slow)
+    u2, state = tx.update(grads, state, p1)
+    p2 = optax.apply_updates(p1, u2)
+    slow0 = np.ones((3, 3))
+    # reconstruct: fast after 2 inner steps vs the synced value
+    assert np.all(np.asarray(p2["w"]) > np.asarray(p1["w"]) - 1.0)  # finite
+    # the synced params lie strictly between the initial (slow) weights and
+    # the fast trajectory, which a plain optimizer would not produce
+    fast_dir = np.asarray(p1["w"]) - slow0
+    synced_dir = np.asarray(p2["w"]) - slow0
+    assert np.all(np.abs(synced_dir) <= np.abs(fast_dir) + 1e-3)
 
 
 def test_object_existence_mask():

@@ -146,7 +146,7 @@ def test_irse_bottleneck_import_golden(in_ch, depth, stride):
     with torch.no_grad():
         ref = m(torch.from_numpy(x)).numpy()
     ours = np.asarray(
-        _apply_bottleneck(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        _apply_bottleneck(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), stride)
     )
     np.testing.assert_allclose(
         np.transpose(ours, (0, 3, 1, 2)), ref, rtol=1e-4, atol=1e-4
@@ -403,3 +403,71 @@ def test_inception_pool3_import_golden():
     ))
     assert ours.shape == ref.shape == (2, 2048)
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fid_pipeline_end_to_end_golden():
+    """Full FID chain parity (reference ``im2scene/eval.py:36-192``): the
+    same random inception weights and the same two image sets through
+
+    * the repo: [-1,1] NHWC -> compute_activations (resize-299 inside
+      inception_pool3) -> calculate_activation_statistics ->
+      calculate_frechet_distance;
+    * the reference pipeline semantics: [0,1] NCHW -> bilinear 299
+      (align_corners=False) -> 2x-1 -> pool3 -> np mean/cov -> Sutherland
+      sqrtm Frechet distance;
+
+    pinning preprocessing (resize + normalization) and statistics, the
+    last untested link in the BASELINE FID-within-0.5 chain.
+    """
+    from scipy import linalg
+
+    from sdface_gan_tpu.evaluation import (
+        calculate_activation_statistics,
+        calculate_frechet_distance,
+        compute_activations,
+    )
+    from sdface_gan_tpu.evaluation.inception import import_torch_state_dict
+
+    m = _TorchFIDInception().eval()
+    for mod in m.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            _randomize_bn(mod)
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params = import_torch_state_dict(state)
+
+    n = 16
+    fake01 = RNG.uniform(0, 1, (n, 64, 64, 3)).astype(np.float32)
+    real01 = RNG.uniform(0, 1, (n, 64, 64, 3)).astype(np.float32)
+
+    # --- repo chain (images in [-1, 1] NHWC) -------------------------------
+    acts_f = compute_activations(params, [fake01 * 2 - 1], batch_size=8)
+    acts_r = compute_activations(params, [real01 * 2 - 1], batch_size=8)
+    mu_f, s_f = calculate_activation_statistics(acts_f)
+    mu_r, s_r = calculate_activation_statistics(acts_r)
+    fid_ours = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
+
+    # --- reference chain (torch, [0, 1] NCHW) -------------------------------
+    def torch_acts(imgs01):
+        x = torch.from_numpy(np.transpose(imgs01, (0, 3, 1, 2)))
+        with torch.no_grad():
+            x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                              align_corners=False)
+            x = 2 * x - 1
+            return m(x).numpy()
+
+    tacts_f = torch_acts(fake01)
+    tacts_r = torch_acts(real01)
+    # activation-level parity through resize + normalize + tower
+    np.testing.assert_allclose(acts_f, tacts_f, rtol=2e-3, atol=2e-3)
+
+    def torch_fid(a, b):
+        mu1, s1 = np.mean(a, 0), np.cov(a, rowvar=False)
+        mu2, s2 = np.mean(b, 0), np.cov(b, rowvar=False)
+        diff = mu1 - mu2
+        covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        return diff.dot(diff) + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean)
+
+    fid_ref = torch_fid(tacts_f, tacts_r)
+    assert abs(fid_ours - fid_ref) < 1e-2, (fid_ours, fid_ref)

@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--sphere_init_iters", type=int, default=10000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=10000)
+    p.add_argument("--sample_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--irse_weights", type=str, default=None,
+                   help="model_ir_se50.pth for the stage-C ID loss + pSp warm start")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="torch archive {'alex': ..., 'lin': ...} for stage-C LPIPS")
     return p.parse_args(argv)
 
 
@@ -76,7 +83,12 @@ def train_sdf(args, cfg) -> None:
 
     expname = cfg["training"]["out_dir"].split("/")[1]
     out_base = os.path.join("./out", expname)
-    need_a = not checkpoint_exists(out_base, "vol_renderer")
+    # Stage A keeps its periodic models_* in its own subdir (reference
+    # layout <exp>/volume_renderer/models_*.pt, training_utils.py:318-327):
+    # sharing out_base would make stage B's auto-resume scan pick up
+    # stage-A checkpoints with an incompatible (decoder-less) tree.
+    vr_dir = os.path.join(out_base, "volume_renderer")
+    need_a = not checkpoint_exists(vr_dir, "vol_renderer")
     need_b = not checkpoint_exists(out_base, "full_pipeline")
     if args.wod:
         need_a, need_b = False, True
@@ -98,10 +110,12 @@ def train_sdf(args, cfg) -> None:
                             host_id=jax.process_index(),
                             num_hosts=jax.process_count()) as loader:
                 train_volume_renderer(
-                    loader, gcfg, vrd_cfg, hp, out_base,
+                    loader, gcfg, vrd_cfg, hp, vr_dir,
                     iters=args.iters or 200001,
                     sphere_init_iters=args.sphere_init_iters,
                     seed=args.seed, exit_after=exit_after,
+                    save_every=args.save_every, sample_every=args.sample_every,
+                    log_every=args.log_every,
                 )
         finally:
             ds.close()
@@ -120,9 +134,12 @@ def train_sdf(args, cfg) -> None:
                             num_hosts=jax.process_count()) as loader:
                 train_full_pipeline(
                     loader, gcfg, sd_cfg, hp, out_base,
+                    vol_renderer_dir=vr_dir,
                     init_from="sdf_init_models" if args.wod else "vol_renderer",
                     iters=args.iters or 300000, seed=args.seed,
                     exit_after=exit_after,
+                    save_every=args.save_every, sample_every=args.sample_every,
+                    log_every=args.log_every,
                 )
         finally:
             ds.close()
@@ -130,7 +147,11 @@ def train_sdf(args, cfg) -> None:
     if args.vae or args.psp:
         from sdface_gan_tpu.training.encoder_loop import train_encoder_stage
 
-        train_encoder_stage(args, cfg, out_base)
+        train_encoder_stage(
+            args, cfg, out_base, iters=args.iters or 100000,
+            exit_after=exit_after, save_every=args.save_every,
+            sample_every=args.sample_every, log_every=args.log_every,
+        )
 
 
 def train_giraffe_family(args, cfg) -> None:
