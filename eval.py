@@ -47,7 +47,10 @@ def main(argv=None) -> None:
 
     from sdface_gan_tpu.config import load_config
     from sdface_gan_tpu.config.build import generator_config
-    from sdface_gan_tpu.config.sdf_options import get_vol_render_opt
+    from sdface_gan_tpu.config.sdf_options import (
+        get_vol_render_opt,
+        rendering_overrides,
+    )
     from sdface_gan_tpu.config.yaml_config import default_config_path
     from sdface_gan_tpu.geometry import generate_camera_params
     from sdface_gan_tpu.models.generator import generator_forward, init_generator
@@ -62,7 +65,8 @@ def main(argv=None) -> None:
 
     img_size = cfg["data"].get("img_size", 256)
     opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
-                             size=img_size, batch=args.batch)
+                             size=img_size, batch=args.batch,
+                             extra_argv=rendering_overrides(cfg))
     gcfg = generator_config(opt, stage_a=False)
 
     template = init_generator(jax.random.PRNGKey(0), gcfg)

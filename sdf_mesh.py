@@ -44,7 +44,10 @@ def main(argv=None) -> None:
 
     from sdface_gan_tpu.config import load_config
     from sdface_gan_tpu.config.build import generator_config
-    from sdface_gan_tpu.config.sdf_options import get_vol_render_opt
+    from sdface_gan_tpu.config.sdf_options import (
+        get_vol_render_opt,
+        rendering_overrides,
+    )
     from sdface_gan_tpu.config.yaml_config import default_config_path
     from sdface_gan_tpu.geometry import generate_camera_params
     from sdface_gan_tpu.geometry.mesh import align_volume, extract_mesh_with_marching_cubes
@@ -66,7 +69,8 @@ def main(argv=None) -> None:
     os.makedirs(mesh_dir, exist_ok=True)
 
     opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
-                             size=args.size)
+                             size=args.size,
+                             extra_argv=rendering_overrides(cfg))
     # test-mode rendering overrides (reference sdf_mesh.py:211-214)
     gcfg = generator_config(opt, stage_a=False)
     gcfg = replace(

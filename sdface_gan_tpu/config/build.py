@@ -37,6 +37,10 @@ def renderer_config(opt: ConfigNode, stage_a: bool) -> RendererConfig:
         return_sdf=r.return_sdf,
         perturb=r.perturb,
         raw_noise_std=r.raw_noise_std,
+        ngp_num_levels=r.get("num_levels", 16),
+        ngp_level_dim=r.get("level_dim", 2),
+        ngp_finest_res=r.get("finest_res", 4096),
+        ngp_log2_hashmap_size=r.get("log2_hashmap_size", 19),
     )
 
 

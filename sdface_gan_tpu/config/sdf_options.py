@@ -94,6 +94,12 @@ def sdf_defaults() -> ConfigNode:
             type="sdf",  # 'sdf' | 'ngp'; set by --ngp (training_utils.py:189)
             fc=False,
             no_features_output=False,
+            # NGP grid geometry (reference hardcodes, sdf_model.py:1534-1545);
+            # overridable per-experiment via the yaml `rendering:` section
+            num_levels=16,
+            level_dim=2,
+            finest_res=4096,
+            log2_hashmap_size=19,
         ),
     )
 
@@ -120,6 +126,16 @@ def parse_sdf_options(argv: Optional[Sequence[str]] = None) -> ConfigNode:
             if hasattr(args, key):
                 node[key] = getattr(args, key)
     return out
+
+
+def rendering_overrides(cfg) -> list:
+    """Flatten a yaml ``rendering:`` section into ``extra_argv`` flags for
+    :func:`get_vol_render_opt` (e.g. the TPU-tuned NGP grid in
+    ``configs/256res/ffhq_256_sdf_ngp_tpu.yaml``)."""
+    extra = []
+    for k, v in (cfg.get("rendering") or {}).items():
+        extra += [f"--{k}", str(v)]
+    return extra
 
 
 def get_vol_render_opt(

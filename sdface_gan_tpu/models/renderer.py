@@ -71,6 +71,22 @@ class RendererConfig:
     # and the eikonal VJP doubles it — without remat the stage-A G step
     # exceeds HBM.  Trades ~1 extra forward for O(layers) less memory.
     remat: bool = True
+    # NGP hash-grid geometry (type='ngp' only; reference hardcodes these at
+    # sdf_model.py:1534-1545).  The TPU NGP path is gather/scatter
+    # latency-bound (docs/PERFORMANCE.md), so num_levels is the main
+    # throughput knob — see configs/256res/ffhq_256_sdf_ngp_tpu.yaml.
+    ngp_num_levels: int = 16
+    ngp_level_dim: int = 2
+    ngp_finest_res: int = 4096
+    ngp_log2_hashmap_size: int = 19
+    # How to compute d sdf / d pts for the eikonal term:
+    # * 'vjp' — reverse-mode pullback (reference semantics, one backward);
+    #   under the outer param grad this is reverse-over-reverse.
+    # * 'jvp' — three forward-mode tangents (the gradient is only
+    #   3-dimensional); O(1) activation memory, and the outer grad becomes
+    #   reverse-over-forward.  Same values; measured trade-off in
+    #   docs/PERFORMANCE.md.
+    eikonal_mode: str = "vjp"
 
     @property
     def feature_out_size(self) -> int:
@@ -79,10 +95,18 @@ class RendererConfig:
 
     def network_config(self):
         if self.type == "ngp":
+            from ..ops.hash_encoder import HashGridSpec
+
             return NGPSirenConfig(
                 width=self.style_dim,
                 style_dim=self.style_dim,
                 output_features=self.output_features,
+                grid=HashGridSpec.create(
+                    num_levels=self.ngp_num_levels,
+                    level_dim=self.ngp_level_dim,
+                    desired_resolution=self.ngp_finest_res,
+                    log2_hashmap_size=self.ngp_log2_hashmap_size,
+                ),
             )
         if self.type == "fc":
             return FCConfig(
@@ -309,7 +333,18 @@ def render(
         normalized = p * 2.0 / (far_b - near_b)[..., None] if cfg.z_normalize else p
         return _apply_network(params, cfg, normalized, views, style)
 
-    if return_eikonal:
+    if return_eikonal and cfg.eikonal_mode == "jvp":
+        # forward-mode: the field is pointwise in pts, so three unit
+        # tangents recover the full (B,H,W,S,3) gradient exactly; no
+        # activation chain is kept alive for a pullback.  linearize runs
+        # the forward ONCE and replays the linearized network per tangent.
+        parts, lin = jax.linearize(field, pts)
+        cols = []
+        for i in range(3):
+            e = jnp.zeros((1, 1, 1, 1, 3)).at[..., i].set(1.0)
+            cols.append(lin(jnp.broadcast_to(e, pts.shape))[1])
+        eikonal_term = jnp.concatenate(cols, axis=-1)  # [B,H,W,S,3]
+    elif return_eikonal:
         parts, vjp_fn = jax.vjp(field, pts)
         rgb_p, sdf_p, feat_p = parts
         cot = (

@@ -72,3 +72,26 @@ def test_stage_option_derivation():
     assert b.training.size == 256
     # stage A's mutations must not leak into stage B
     assert b.rendering.no_features_output is False
+
+
+def test_rendering_overrides_plumb_to_hash_grid():
+    """A yaml ``rendering:`` section must reach the HashGridSpec the NGP
+    renderer builds (the TPU-tuned grid in ffhq_256_sdf_ngp_tpu.yaml
+    depends on this path end-to-end)."""
+    from sdface_gan_tpu.config.build import generator_config
+    from sdface_gan_tpu.config.sdf_options import rendering_overrides
+
+    cfg = {"rendering": {"num_levels": 8, "finest_res": 1024,
+                         "log2_hashmap_size": 17}}
+    opt = get_vol_render_opt("exp", True, ngp=True, size=64,
+                             extra_argv=rendering_overrides(cfg))
+    grid = generator_config(opt, stage_a=True).renderer.network_config().grid
+    assert grid.num_levels == 8
+    assert grid.log2_hashmap_size == 17
+
+    # absent section -> reference defaults (sdf_model.py:1534-1545)
+    opt0 = get_vol_render_opt("exp", True, ngp=True, size=64,
+                              extra_argv=rendering_overrides({}))
+    grid0 = generator_config(opt0, stage_a=True).renderer.network_config().grid
+    assert grid0.num_levels == 16
+    assert grid0.log2_hashmap_size == 19

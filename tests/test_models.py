@@ -415,3 +415,40 @@ def test_fc_generator_forward():
         key=jax.random.PRNGKey(2),
     )
     assert out.thumb_rgb.shape == (1, 8, 8, 3)
+
+
+def test_eikonal_jvp_matches_vjp():
+    """Forward-mode eikonal (three jvp tangents) must produce the same
+    d sdf / d pts — and the same gradients THROUGH it — as the reverse-mode
+    pullback (reference get_eikonal_term, sdf_model.py:224-229)."""
+    from dataclasses import replace as _replace
+
+    cfg = RendererConfig(
+        type="sdf", out_im_res=4, n_samples=3, style_dim=16, width=16, depth=2,
+        perturb=0.0,
+    )
+    p = init_renderer(KEY, cfg)
+    cams = generate_camera_params(cfg.out_im_res, jax.random.PRNGKey(1), batch=2)
+    style = jax.random.normal(KEY, (2, cfg.style_dim))
+
+    out_v = render(p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far,
+                   style, return_eikonal=True)
+    cfg_j = _replace(cfg, eikonal_mode="jvp")
+    out_j = render(p, cfg_j, cams.focal, cams.extrinsics, cams.near, cams.far,
+                   style, return_eikonal=True)
+    np.testing.assert_allclose(np.asarray(out_j.eikonal_term),
+                               np.asarray(out_v.eikonal_term),
+                               rtol=1e-4, atol=1e-5)
+
+    # param-gradient parity through the eikonal loss (the double-backprop
+    # path the G step takes)
+    def loss(params, mode_cfg):
+        out = render(params, mode_cfg, cams.focal, cams.extrinsics, cams.near,
+                     cams.far, style, return_eikonal=True)
+        return jnp.mean((jnp.linalg.norm(out.eikonal_term, axis=-1) - 1.0) ** 2)
+
+    g_v = jax.grad(loss)(p, cfg)
+    g_j = jax.grad(loss)(p, cfg_j)
+    for a, b in zip(jax.tree_util.tree_leaves(g_v), jax.tree_util.tree_leaves(g_j)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)

@@ -74,7 +74,10 @@ def train_sdf(args, cfg) -> None:
         generator_config,
         train_hparams,
     )
-    from sdface_gan_tpu.config.sdf_options import get_vol_render_opt
+    from sdface_gan_tpu.config.sdf_options import (
+        get_vol_render_opt,
+        rendering_overrides,
+    )
     from sdface_gan_tpu.data import DataLoader, MultiResolutionDataset
     from sdface_gan_tpu.training.loop import train_full_pipeline, train_volume_renderer
     from sdface_gan_tpu.utils.checkpoints import checkpoint_exists
@@ -99,7 +102,8 @@ def train_sdf(args, cfg) -> None:
 
     if need_a:
         opt = get_vol_render_opt(expname, True, ngp=bool(args.ngp), fc=bool(args.fc),
-                                 wod=bool(args.wod), size=img_size, batch=args.batch)
+                                 wod=bool(args.wod), size=img_size, batch=args.batch,
+                                 extra_argv=rendering_overrides(cfg))
         gcfg = generator_config(opt, stage_a=True)
         vrd_cfg, _ = discriminator_configs(opt)
         hp = train_hparams(opt)
@@ -122,7 +126,8 @@ def train_sdf(args, cfg) -> None:
 
     if need_b:
         opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
-                                 wod=bool(args.wod), size=img_size, batch=args.batch)
+                                 wod=bool(args.wod), size=img_size, batch=args.batch,
+                                 extra_argv=rendering_overrides(cfg))
         gcfg = generator_config(opt, stage_a=False)
         _, sd_cfg = discriminator_configs(opt)
         hp = train_hparams(opt)
