@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Render docs/img/training_curves.png from a stage-A metrics JSONL.
+"""Render docs/img/*_curves.png from a stage metrics JSONL (--stage a/b/c).
 
 Small multiples, one metric per axis (never dual-axis); two-series panels
 (viewpoint, D scores) use the validated adjacent categorical pair
@@ -65,25 +65,48 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--metrics", default="out/synth64_sdf/vol_render_metrics.jsonl")
     p.add_argument("--out", default="docs/img/training_curves.png")
+    p.add_argument("--stage", choices=["a", "b", "c"], default="a")
     args = p.parse_args(argv)
 
     series = load(args.metrics)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
-    fig, axes = plt.subplots(2, 3, figsize=(12, 6.2), dpi=150)
-    fig.patch.set_facecolor("white")
-    panel(axes[0, 0], series, ["d", "g"], "Adversarial losses",
-          labels=["D logistic", "G non-saturating"])
-    panel(axes[0, 1], series, ["real_score", "fake_score"], "D scores",
-          labels=["real", "fake"])
-    panel(axes[0, 2], series, ["r1"], "R1 gradient penalty")
-    panel(axes[1, 0], series, ["d_view", "g_view"], "Viewpoint loss",
-          labels=["D branch", "G branch"])
-    panel(axes[1, 1], series, ["g_eikonal"], "Eikonal term (weighted)")
-    panel(axes[1, 2], series, ["beta"], "Sigmoid beta (SDF sharpness)")
-    axes[1, 2].set_yscale("log")
-    for ax in axes[1]:
-        ax.set_xlabel("iteration", fontsize=9, color=MUTED)
+    if args.stage == "a":
+        fig, axes = plt.subplots(2, 3, figsize=(12, 6.2), dpi=150)
+        fig.patch.set_facecolor("white")
+        panel(axes[0, 0], series, ["d", "g"], "Adversarial losses",
+              labels=["D logistic", "G non-saturating"])
+        panel(axes[0, 1], series, ["real_score", "fake_score"], "D scores",
+              labels=["real", "fake"])
+        panel(axes[0, 2], series, ["r1"], "R1 gradient penalty")
+        panel(axes[1, 0], series, ["d_view", "g_view"], "Viewpoint loss",
+              labels=["D branch", "G branch"])
+        panel(axes[1, 1], series, ["g_eikonal"], "Eikonal term (weighted)")
+        panel(axes[1, 2], series, ["beta"], "Sigmoid beta (SDF sharpness)")
+        axes[1, 2].set_yscale("log")
+    elif args.stage == "b":
+        fig, axes = plt.subplots(2, 3, figsize=(12, 6.2), dpi=150)
+        fig.patch.set_facecolor("white")
+        panel(axes[0, 0], series, ["d", "g"], "Adversarial losses",
+              labels=["D logistic", "G non-saturating"])
+        panel(axes[0, 1], series, ["real_score", "fake_score"], "D scores",
+              labels=["real", "fake"])
+        panel(axes[0, 2], series, ["r1"], "R1 penalty (lazy cadence)")
+        panel(axes[1, 0], series, ["g_content"], "Content loss (thumb vs render)")
+        panel(axes[1, 1], series, ["path"], "Path-length regularizer")
+        panel(axes[1, 2], series, ["path_length"], "Mean path length (EMA)")
+    else:
+        fig, axes = plt.subplots(1, 3, figsize=(12, 3.4), dpi=150)
+        fig.patch.set_facecolor("white")
+        panel(axes[0], series, ["e_loss"], "Encoder total loss")
+        panel(axes[1], series, ["e_l2_full", "e_l2_thumb"], "Reconstruction L2",
+              labels=["full res", "thumb"])
+        panel(axes[2], series, ["e_kl"], "KL term (VAE only)")
+        for ax in axes:
+            ax.set_xlabel("iteration", fontsize=9, color=MUTED)
+    if args.stage in ("a", "b"):
+        for ax in axes[1]:
+            ax.set_xlabel("iteration", fontsize=9, color=MUTED)
     fig.tight_layout()
     fig.savefig(args.out, bbox_inches="tight")
     print(f"wrote {args.out}")

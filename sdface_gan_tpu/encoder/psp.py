@@ -39,11 +39,24 @@ class PSPConfig:
     img_size: int = 256
     style_count: int = 6          # == decoder n_latent for 256^2 / 64-res in
     renderer_style_dim: int = 256
+    # pSp's start_from_latent_avg: the encoder predicts OFFSETS from the
+    # generator's mean styles (renderer W mean, decoder W mean) instead of
+    # absolute latents — without it, L2-only training drifts off the
+    # trained style manifold (observed on a real run: reconstructions
+    # dissolve into texture by 4k iters; with it they stay face-shaped).
+    start_from_avg: bool = True
 
     @property
     def irse(self) -> IRSEConfig:
+        # Clamp the FPN split points to style_count: an equal-resolution
+        # decoder (renderer out_im_res == img_size) has n_latent == 2, below
+        # the reference's hardcoded coarse/middle boundaries
+        # (psp_encoders.py:55-57 assume 18 styles at 1024^2).
         return IRSEConfig(
-            psp_input_size=self.img_size, style_count=self.style_count
+            psp_input_size=self.img_size,
+            style_count=self.style_count,
+            coarse_ind=min(IRSEConfig.coarse_ind, self.style_count),
+            middle_ind=min(IRSEConfig.middle_ind, self.style_count),
         )
 
 

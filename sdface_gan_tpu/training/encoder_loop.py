@@ -62,7 +62,12 @@ THUMB_LOSS = LossUtils()  # L2 only: perceptual nets assume full-res crops
 
 
 def make_encoder_step(gcfg: GeneratorConfig, ecfg: EncoderConfig, tx,
-                      loss_utils: LossUtils, kl_weight: float = 0.005):
+                      loss_utils: LossUtils, kl_weight: float = 0.005,
+                      latent_avg=None):
+    """``latent_avg``: (renderer_mean [1, style_dim], decoder_mean [1, 512])
+    from :func:`mean_latent` — with ``PSPConfig.start_from_avg`` the pSp
+    encoder predicts offsets from these (recomputable at inference from the
+    saved ``g_ema`` with ``mean_latent(..., PRNGKey(2))``)."""
     psp = isinstance(ecfg, PSPConfig)
 
     def step(e_params, g_params, e_opt_state, key, real_imgs, real_thumbs,
@@ -71,6 +76,9 @@ def make_encoder_step(gcfg: GeneratorConfig, ecfg: EncoderConfig, tx,
             kz, kr = jax.random.split(key)
             if psp:
                 rend_latent, wplus = apply_psp_encoder(ep, ecfg, real_imgs)
+                if latent_avg is not None:
+                    rend_latent = rend_latent + latent_avg[0]
+                    wplus = wplus + latent_avg[1]
                 out = generator_forward(
                     g_params, gcfg, [wplus], cam_extrinsics, focal, near, far,
                     key=kr, input_is_latent=True, renderer_latent=rend_latent,
@@ -113,6 +121,9 @@ def _make_recon_fn(gcfg: GeneratorConfig, ecfg: EncoderConfig):
     def recon_fn(ep, gp, img1, extr, focal, near, far, trunc):
         if psp:
             rend, wplus = apply_psp_encoder(ep, ecfg, img1)
+            if ecfg.start_from_avg:
+                rend = rend + trunc[0]
+                wplus = wplus + trunc[1]
             out = generator_forward(
                 gp, gcfg, [jnp.repeat(wplus, 8, axis=0)], extr, focal, near,
                 far, input_is_latent=True,
@@ -206,13 +217,14 @@ def train_encoder(
 
     mesh = _training_mesh(_HP(batch=batch), mesh)
     e_params, g_ema_r, e_state = replicate((e_params, g_ema, e_state), mesh)
-    step = data_parallel_jit(
-        make_encoder_step(gcfg, ecfg, tx, loss_utils), mesh,
-        batch_argnums=(4, 5), donate_argnums=(0, 2),
-    )
     res = gcfg.renderer.out_im_res
     trunc = jax.jit(mean_latent, static_argnums=1)(
         g_ema_r, gcfg, jax.random.PRNGKey(2)
+    )
+    latent_avg = trunc if (psp and ecfg.start_from_avg) else None
+    step = data_parallel_jit(
+        make_encoder_step(gcfg, ecfg, tx, loss_utils, latent_avg=latent_avg),
+        mesh, batch_argnums=(4, 5), donate_argnums=(0, 2),
     )
     recon_fn = _make_recon_fn(gcfg, ecfg)
 
@@ -352,9 +364,11 @@ def train_encoder_stage(args: Any, cfg: Any, out_base: str,
     try:
         with DataLoader(ds, batch_size=batch, host_id=jax.process_index(),
                         num_hosts=jax.process_count()) as loader:
+            # distinct per-type directories: auto-resume must never load a
+            # VAE checkpoint into a pSp tree (or vice versa)
             return train_encoder(
                 loader, gcfg, g_ema, ecfg,
-                os.path.join(out_base, "encoder"),
+                os.path.join(out_base, "encoder_psp" if psp else "encoder"),
                 loss_utils=load_perceptual_params(args),
                 e_init=e_init, iters=iters,
                 seed=getattr(args, "seed", 0), **kwargs,

@@ -102,6 +102,31 @@ def test_psp_encoder_loop_trains(tmp_path):
     assert np.asarray(e["proj"]["w"]).shape == (512, 256)
 
 
+def test_psp_equal_resolution_decoder(tmp_path):
+    """Regression: a decoder whose input resolution equals the output
+    (renderer out_im_res == size, e.g. the 64^2 synthetic config) has
+    n_latent == 2, below IRSEConfig's default FPN split points — the W+
+    stack must clamp coarse/middle boundaries instead of indexing past the
+    style list (found by a real-chip stage-C run)."""
+    out = str(tmp_path / "psp_eq")
+    gcfg = GeneratorConfig(
+        size=16, style_dim=256, full_pipeline=True, freeze_renderer=True,
+        channel_multiplier=1,
+        renderer=RendererConfig(type="sdf", out_im_res=16, n_samples=4,
+                                style_dim=256, width=16, depth=1),
+    )
+    assert gcfg.decoder.n_latent == 2
+    g_ema = init_generator(jax.random.PRNGKey(1), gcfg)
+    ecfg = PSPConfig(img_size=16, style_count=gcfg.decoder.n_latent,
+                     renderer_style_dim=gcfg.style_dim)
+    e = train_encoder(
+        fake_loader(16, 16, 2), gcfg, g_ema, ecfg, out,
+        iters=2, log_every=1, save_every=0, sample_every=0, val_n_sample=1,
+    )
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(e))
+
+
 def test_psp_rejects_non512_decoder(tmp_path):
     g_ema = init_generator(jax.random.PRNGKey(1), GCFG)  # style_dim 16
     ecfg = PSPConfig(img_size=16, style_count=GCFG.decoder.n_latent,
