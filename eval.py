@@ -150,13 +150,27 @@ def main(argv=None) -> None:
     elif args.real_dir:
         from PIL import Image
 
-        def real_iter():
-            names = sorted(os.listdir(args.real_dir))[: args.n_images]
-            for name in names:
-                img = Image.open(os.path.join(args.real_dir, name)).convert("RGB")
-                img = img.resize((img_size, img_size), Image.LANCZOS)
-                arr = np.asarray(img, np.float32) / 127.5 - 1.0
-                yield arr[None]
+        if os.path.exists(os.path.join(args.real_dir, "index.bin")):
+            # a prepare_data record store (the artifact a real-image user
+            # already has) scores directly — no PNG re-export needed
+            from sdface_gan_tpu.data import MultiResolutionDataset
+
+            def real_iter():
+                ds = MultiResolutionDataset(args.real_dir, resolution=img_size,
+                                            hflip=False)
+                try:
+                    for i in range(min(len(ds), args.n_images)):
+                        yield ds[i][0][None]
+                finally:
+                    ds.close()
+        else:
+            def real_iter():
+                names = sorted(os.listdir(args.real_dir))[: args.n_images]
+                for name in names:
+                    img = Image.open(os.path.join(args.real_dir, name)).convert("RGB")
+                    img = img.resize((img_size, img_size), Image.LANCZOS)
+                    arr = np.asarray(img, np.float32) / 127.5 - 1.0
+                    yield arr[None]
 
         real_acts = compute_activations(inc, real_iter(), batch_size=args.batch)
         mu_r, s_r = calculate_activation_statistics(real_acts)
