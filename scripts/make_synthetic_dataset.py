@@ -49,8 +49,24 @@ def _look_at(azim: float, elev: float) -> tuple[np.ndarray, np.ndarray]:
     return r, loc
 
 
-def render_head(rng: np.random.Generator, res: int) -> np.ndarray:
-    """One identity, one pose -> [res, res, 3] float in [0, 1]."""
+def render_head(
+    rng: np.random.Generator,
+    res: int,
+    azim_range: float = 0.3,
+    elev_range: float = 0.15,
+    uniform: bool = False,
+    flat_bg: float | None = None,
+) -> np.ndarray:
+    """One identity, one pose -> [res, res, 3] float in [0, 1].
+
+    ``uniform`` draws azim/elev ~ U(-range, range) instead of N(0, range) —
+    the wide-pose (CARLA-style) regime.  ``flat_bg`` replaces the random
+    background gradient with a constant gray level — pair it with the
+    renderer's fixed-background mode (``RendererConfig.bg_mode``), under
+    which only real density can produce non-background pixels and the
+    far-plane billboard collapse (docs/TRAINING_RUN.md) is structurally
+    impossible.
+    """
     # --- identity ---------------------------------------------------------
     axes = np.array([
         rng.uniform(0.055, 0.07),   # x: head half-width
@@ -59,16 +75,23 @@ def render_head(rng: np.random.Generator, res: int) -> np.ndarray:
     ])
     skin = rng.uniform([0.55, 0.35, 0.25], [0.95, 0.75, 0.6])
     hair = rng.uniform([0.05, 0.03, 0.02], [0.5, 0.35, 0.25])
-    bg_top = rng.uniform(0.1, 0.9, 3)
-    bg_bot = np.clip(bg_top + rng.uniform(-0.3, 0.3, 3), 0.0, 1.0)
+    if flat_bg is None:
+        bg_top = rng.uniform(0.1, 0.9, 3)
+        bg_bot = np.clip(bg_top + rng.uniform(-0.3, 0.3, 3), 0.0, 1.0)
+    else:
+        bg_top = bg_bot = np.full(3, flat_bg)
     eye_x = rng.uniform(0.30, 0.45)      # lateral eye offset (unit-sphere space)
     eye_y = rng.uniform(0.15, 0.3)       # eye height
     hair_y = rng.uniform(0.45, 0.6)      # hair cap starts above this y
     mouth_w = rng.uniform(0.25, 0.45)
 
-    # --- pose (matches generate_camera_params defaults) -------------------
-    azim = float(rng.normal(0.0, 0.3))
-    elev = float(rng.normal(0.0, 0.15))
+    # --- pose (matches generate_camera_params with the same flags) --------
+    if uniform:
+        azim = float(rng.uniform(-azim_range, azim_range))
+        elev = float(rng.uniform(-elev_range, elev_range))
+    else:
+        azim = float(rng.normal(0.0, azim_range))
+        elev = float(rng.normal(0.0, elev_range))
     r, cam_loc = _look_at(azim, elev)
 
     focal = 0.5 * res / math.tan(6.0 * math.pi / 180.0)
@@ -141,6 +164,13 @@ def main(argv=None) -> None:
     p.add_argument("--n", type=int, default=4000)
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--azim", type=float, default=0.3)
+    p.add_argument("--elev", type=float, default=0.15)
+    p.add_argument("--uniform", action="store_true",
+                   help="azim/elev ~ U(-range, range) instead of N(0, range)")
+    p.add_argument("--flat_bg", type=float, default=None,
+                   help="constant background gray level in [0,1] (for "
+                        "bg_mode-fixed training) instead of random gradients")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -149,7 +179,9 @@ def main(argv=None) -> None:
     os.makedirs(png_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     for i in range(args.n):
-        img = render_head(rng, args.res)
+        img = render_head(rng, args.res, azim_range=args.azim,
+                          elev_range=args.elev, uniform=args.uniform,
+                          flat_bg=args.flat_bg)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(png_dir, f"{i:06d}.png"))
         if (i + 1) % 500 == 0:

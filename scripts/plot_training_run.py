@@ -72,18 +72,21 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     if args.stage == "a":
-        fig, axes = plt.subplots(2, 3, figsize=(12, 6.2), dpi=150)
+        fig, axes = plt.subplots(2, 4, figsize=(15, 6.2), dpi=150)
         fig.patch.set_facecolor("white")
         panel(axes[0, 0], series, ["d", "g"], "Adversarial losses",
               labels=["D logistic", "G non-saturating"])
         panel(axes[0, 1], series, ["real_score", "fake_score"], "D scores",
               labels=["real", "fake"])
         panel(axes[0, 2], series, ["r1"], "R1 gradient penalty")
+        panel(axes[0, 3], series, ["fg_mass"], "Foreground mass (1 = solid geometry)")
+        axes[0, 3].set_ylim(-0.02, 1.02)
         panel(axes[1, 0], series, ["d_view", "g_view"], "Viewpoint loss",
               labels=["D branch", "G branch"])
         panel(axes[1, 1], series, ["g_eikonal"], "Eikonal term (weighted)")
-        panel(axes[1, 2], series, ["beta"], "Sigmoid beta (SDF sharpness)")
-        axes[1, 2].set_yscale("log")
+        panel(axes[1, 2], series, ["g_minimal_surface"], "Minimal-surface term (weighted)")
+        panel(axes[1, 3], series, ["beta"], "Sigmoid beta (SDF sharpness)")
+        axes[1, 3].set_yscale("log")
     elif args.stage == "b":
         fig, axes = plt.subplots(2, 3, figsize=(12, 6.2), dpi=150)
         fig.patch.set_facecolor("white")

@@ -37,6 +37,7 @@ def renderer_config(opt: ConfigNode, stage_a: bool) -> RendererConfig:
         return_sdf=r.return_sdf,
         perturb=r.perturb,
         raw_noise_std=r.raw_noise_std,
+        bg_mode=r.get("bg_mode", "lastsample"),
         ngp_num_levels=r.get("num_levels", 16),
         ngp_level_dim=r.get("level_dim", 2),
         ngp_finest_res=r.get("finest_res", 4096),

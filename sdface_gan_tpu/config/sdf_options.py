@@ -92,6 +92,7 @@ def sdf_defaults() -> ConfigNode:
             return_xyz=False,
             return_sdf=False,
             type="sdf",  # 'sdf' | 'ngp'; set by --ngp (training_utils.py:189)
+            bg_mode="lastsample",  # 'lastsample' | 'white' | 'gray' | 'black'
             fc=False,
             no_features_output=False,
             # NGP grid geometry (reference hardcodes, sdf_model.py:1534-1545);
@@ -129,12 +130,18 @@ def parse_sdf_options(argv: Optional[Sequence[str]] = None) -> ConfigNode:
 
 
 def rendering_overrides(cfg) -> list:
-    """Flatten a yaml ``rendering:`` section into ``extra_argv`` flags for
-    :func:`get_vol_render_opt` (e.g. the TPU-tuned NGP grid in
-    ``configs/256res/ffhq_256_sdf_ngp_tpu.yaml``)."""
+    """Flatten the yaml ``rendering:`` and ``train_args:`` sections into
+    ``extra_argv`` flags for :func:`get_vol_render_opt` (e.g. the TPU-tuned
+    NGP grid in ``configs/256res/ffhq_256_sdf_ngp_tpu.yaml``, or a per-
+    experiment ``min_surf_lambda`` — any flag ``parse_sdf_options`` knows)."""
     extra = []
-    for k, v in (cfg.get("rendering") or {}).items():
-        extra += [f"--{k}", str(v)]
+    for section in ("rendering", "train_args"):
+        for k, v in (cfg.get(section) or {}).items():
+            if isinstance(v, bool):  # store_true flags: present iff truthy
+                if v:
+                    extra += [f"--{k}"]
+            else:
+                extra += [f"--{k}", str(v)]
     return extra
 
 

@@ -79,6 +79,17 @@ class RendererConfig:
     ngp_level_dim: int = 2
     ngp_finest_res: int = 4096
     ngp_log2_hashmap_size: int = 19
+    # Background model.  'lastsample' (reference semantics): the final
+    # depth sample gets an infinite-width bin (sdf_model.py:240 `self.inf`),
+    # so it absorbs all leftover visibility — an implicit learnable
+    # background ("dome") the network paints per view.  That dome is also
+    # an adversarial shortcut: on easy/narrow-pose data the GAN can erase
+    # the SDF geometry entirely and paint images on the dome
+    # (docs/TRAINING_RUN.md).  'white' / 'gray' / 'black' composite the
+    # leftover visibility onto a FIXED color (the pi-GAN / GRAF
+    # convention): only real density can produce non-background pixels,
+    # so geometry formation is structurally guaranteed.
+    bg_mode: str = "lastsample"
     # How to compute d sdf / d pts for the eikonal term:
     # * 'vjp' — reverse-mode pullback (reference semantics, one backward);
     #   under the outer param grad this is reverse-over-reverse.
@@ -250,8 +261,14 @@ def _integrate(
     z_vals = z_vals.astype(jnp.float32)
     dists = z_vals[..., 1:] - z_vals[..., :-1]  # [B,H,W,S-1]
     rays_d_norm = jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1)  # [B,H,W]
-    inf = jnp.broadcast_to(jnp.asarray(1e10, z_vals.dtype), rays_d_norm.shape)[..., None]
-    dists = jnp.concatenate([dists, inf], -1) * rays_d_norm[..., None]  # [B,H,W,S]
+    if cfg.bg_mode == "lastsample":
+        # infinite last bin: the final sample absorbs leftover visibility
+        last = jnp.broadcast_to(jnp.asarray(1e10, z_vals.dtype), rays_d_norm.shape)[..., None]
+    else:
+        # fixed background: the last sample is an ordinary bin and leftover
+        # visibility composites onto a constant color after integration
+        last = dists[..., -1:]
+    dists = jnp.concatenate([dists, last], -1) * rays_d_norm[..., None]  # [B,H,W,S]
 
     rgb = rgb.astype(jnp.float32)
     sdf = sdf.astype(jnp.float32)
@@ -281,17 +298,29 @@ def _integrate(
     visibility = jnp.cumprod(trans, axis=-1)[..., :-1]
     weights = alpha * visibility  # [B,H,W,S]
 
-    if cfg.force_background:
+    if cfg.force_background and cfg.bg_mode == "lastsample":
         last = 1.0 - jnp.sum(weights[..., :-1], axis=-1, keepdims=True)
         weights = jnp.concatenate([weights[..., :-1], last], axis=-1)
 
     w_exp = weights[..., None]  # [B,H,W,S,1] broadcast against channels
     rgb_map = -1.0 + 2.0 * jnp.sum(w_exp * jax.nn.sigmoid(rgb), axis=-2)
+    if cfg.bg_mode != "lastsample":
+        # composite leftover visibility onto the fixed background color
+        bg_level = {"white": 1.0, "gray": 0.5, "black": 0.0}[cfg.bg_mode]
+        leftover = 1.0 - jnp.sum(weights, axis=-1, keepdims=True)  # [B,H,W,1]
+        rgb_map = rgb_map + 2.0 * bg_level * leftover
     feature_map = (
         jnp.sum(w_exp * features, axis=-2) if cfg.output_features else None
     )
     xyz = jnp.sum(w_exp * pts, axis=-2) if cfg.return_xyz else None
-    mask = weights[..., -1:] if cfg.return_xyz else None
+    if cfg.return_xyz:
+        # background probability: leftover transmittance under a fixed
+        # background, the infinite last sample's weight otherwise
+        mask = (
+            leftover if cfg.bg_mode != "lastsample" else weights[..., -1:]
+        )
+    else:
+        mask = None
     sdf_out = sdf if cfg.return_sdf else None
     return rgb_map, feature_map, sdf_out, mask, xyz
 

@@ -262,6 +262,7 @@ def make_stage_a_g_step(
                 cams.far,
                 key=kr,
                 return_sdf=use_msurf,
+                return_xyz=True,  # mask -> fg_mass diagnostic (below)
                 return_eikonal=use_eik,
             )
             fake_pred, fake_view = apply_volume_render_discriminator(
@@ -286,6 +287,13 @@ def make_stage_a_g_step(
                 "g_view": g_view,
                 "g_eikonal": hp.eikonal_lambda * eik,
                 "g_minimal_surface": hp.min_surf_lambda * msurf,
+                # Foreground mass: how much compositing weight lands INSIDE
+                # the volume vs on the infinite-dist last sample (the "sky
+                # dome").  A healthy 3D run stays well above 0; a collapse
+                # to a far-plane billboard — geometry erased, images painted
+                # on the dome — drives this to 0 while every OTHER curve
+                # still looks like a converging GAN (docs/TRAINING_RUN.md).
+                "fg_mass": 1.0 - jnp.mean(out.mask),
             }
             if is_ngp and hp.smooth_lambda > 0:
                 smooth = hash_smoothness_loss(

@@ -102,6 +102,38 @@ def test_renderer_force_background_weights_sum_to_one():
     assert out.mask.shape == (1, 4, 4, 1)
 
 
+def test_renderer_fixed_background_modes():
+    """bg_mode='white'/'gray'/'black' (pi-GAN/GRAF convention): leftover
+    transmittance composites onto a fixed color, so with a strongly
+    positive SDF (no density) the image IS the background color and the
+    mask (background probability) is ~1.  The reference 'lastsample' mode
+    instead hands that visibility to the infinite-width last sample
+    (sdf_model.py:240) — the learnable 'dome' that enables the billboard
+    collapse documented in docs/TRAINING_RUN.md."""
+    base = RendererConfig(
+        type="sdf", out_im_res=4, n_samples=5, style_dim=16, width=16, depth=1,
+        return_xyz=True, perturb=0.0,
+    )
+    from dataclasses import replace
+
+    p = init_renderer(KEY, base)
+    # push the field far outside the surface: sdf >> 0 -> sigma ~ 0
+    p["network"]["sigma_linear"] = {
+        "w": jnp.zeros_like(p["network"]["sigma_linear"]["w"]),
+        "b": jnp.full_like(p["network"]["sigma_linear"]["b"], 50.0),
+    }
+    cams = generate_camera_params(base.out_im_res, jax.random.PRNGKey(1), batch=1)
+    style = jax.random.normal(KEY, (1, base.style_dim))
+    for mode, level in (("white", 1.0), ("gray", 0.0), ("black", -1.0)):
+        cfg = replace(base, bg_mode=mode)
+        out = render(p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far, style)
+        np.testing.assert_allclose(np.asarray(out.rgb), level, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out.mask), 1.0, atol=1e-3)
+    # lastsample: the same empty field still paints via the dome sample
+    out_ref = render(p, base, cams.focal, cams.extrinsics, cams.near, cams.far, style)
+    assert float(jnp.max(jnp.abs(out_ref.mask - 1.0))) < 1e-3
+
+
 def test_integrate_matches_naive_reference_formula():
     """The lane-dense [B,H,W,S] compositing chain must equal a naive
     transcription of the reference ``volume_integration``

@@ -108,8 +108,10 @@ def test_stage_a_steps():
 
     for name in ("d", "r1", "d_view", "real_score", "fake_score"):
         assert name in dm and np.isfinite(float(dm[name]))
-    for name in ("g", "g_view", "g_eikonal", "g_minimal_surface"):
+    for name in ("g", "g_view", "g_eikonal", "g_minimal_surface", "fg_mass"):
         assert name in gm and np.isfinite(float(gm[name]))
+    # fg_mass is a weight fraction: 1 - mean background-sample weight
+    assert 0.0 <= float(gm["fg_mass"]) <= 1.0
     assert _finite(g) and _finite(d) and _finite(ema)
 
 
