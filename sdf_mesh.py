@@ -165,6 +165,13 @@ def main(argv=None) -> None:
         sdf = probe_surface(
             surf_params, z, front.extrinsics, front.focal, front.near, front.far
         )  # [1, R, R, S, 1]
+        s = np.asarray(sdf)
+        if s.min() > 0 or s.max() < 0:
+            # marching cubes would still emit the frustum shell (all-negative)
+            # or nothing (all-positive) — neither is a surface
+            print(f"id{ident}: WARNING sdf has no zero crossing "
+                  f"[{s.min():+.4f},{s.max():+.4f}] — degenerate geometry; "
+                  "diagnose with probe_geometry.py (docs/TRAINING_RUN.md)")
         aligned = np.asarray(align_volume(sdf))
         try:
             mesh = extract_mesh_with_marching_cubes(aligned)

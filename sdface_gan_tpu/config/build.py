@@ -82,6 +82,7 @@ def train_hparams(opt: ConfigNode) -> TrainHParams:
         eikonal_lambda=t.eikonal_lambda,
         min_surf_lambda=t.min_surf_lambda,
         min_surf_beta=t.min_surf_beta,
+        sparsity_lambda=t.get("sparsity_lambda", 0.0),
         smooth_lambda=t.get("smooth_lambda", 1000.0),
         mixing=t.mixing,
         d_reg_every=t.d_reg_every,

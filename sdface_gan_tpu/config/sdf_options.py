@@ -42,6 +42,10 @@ def sdf_defaults() -> ConfigNode:
             eikonal_lambda=0.1,
             min_surf_lambda=0.05,
             min_surf_beta=100.0,
+            # occupancy sparsity prior (not in reference; breaks the
+            # fog/geometry tie on background-matched synthetic data,
+            # docs/TRAINING_RUN.md)
+            sparsity_lambda=0.0,
             smooth_lambda=1000.0,  # hardcoded 1000x in reference training_utils.py:437
             path_regularize=2.0,
             path_batch_shrink=2,
@@ -177,7 +181,9 @@ def get_vol_render_opt(
     if need_train_vol_render:
         opt.model.freeze_renderer = False
         opt.training.with_sdf = not opt.rendering.no_sdf
-        if opt.training.with_sdf and opt.training.min_surf_lambda > 0:
+        if opt.training.with_sdf and (
+            opt.training.min_surf_lambda > 0 or opt.training.sparsity_lambda > 0
+        ):
             opt.rendering.return_sdf = True
         opt.training.iter = 200001
         opt.rendering.no_features_output = True

@@ -33,6 +33,26 @@ def eikonal_loss(
     return eik, min_surf
 
 
+def occupancy_sparsity_loss(sdf: jnp.ndarray, sigmoid_beta: jnp.ndarray) -> jnp.ndarray:
+    """Mean occupancy ``sigmoid(-sdf/beta)`` over the ray samples — the
+    DVGO/Plenoxels empty-space sparsity prior, re-expressed for the SDF
+    density transform (``sigma = sigmoid(-sdf/beta)/beta``, reference
+    ``sdf_model.py:163``).
+
+    Not in the reference: on synthetic data whose background matches the
+    fixed composite background, a uniform low-density fog renders the same
+    images as true geometry and none of the reference regularizers breaks
+    the tie (measured, docs/TRAINING_RUN.md).  Real geometry pays ~ the
+    object's volume fraction of the frustum; fog pays its occupancy
+    everywhere, so any positive weight makes fog strictly more expensive.
+    ``beta`` is detached: the prior must not fight the learnable-β anneal
+    by widening the sigmoid instead of clearing space.  Bounded as β → 0
+    (a raw-density penalty would diverge as 1/β on saturated interiors).
+    """
+    beta = jax.lax.stop_gradient(sigmoid_beta.astype(jnp.float32))
+    return jnp.mean(jax.nn.sigmoid(-sdf.astype(jnp.float32) / beta))
+
+
 def sphere_init_loss(sdf: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """L1 regression of raw SDF to a centered sphere
     (reference ``training_utils.py:307``: ``F.l1_loss(sdf, target)``)."""

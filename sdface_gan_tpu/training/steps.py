@@ -40,7 +40,12 @@ from ..losses.gan_losses import (
     g_path_regularize,
     viewpoints_loss,
 )
-from ..losses.geometry_losses import eikonal_loss, hash_smoothness_loss, sphere_init_loss
+from ..losses.geometry_losses import (
+    eikonal_loss,
+    hash_smoothness_loss,
+    occupancy_sparsity_loss,
+    sphere_init_loss,
+)
 from ..models.discriminator import (
     StyleDiscConfig,
     VolumeRenderDiscConfig,
@@ -84,6 +89,7 @@ class TrainHParams:
     eikonal_lambda: float = 0.1
     min_surf_lambda: float = 0.05
     min_surf_beta: float = 100.0
+    sparsity_lambda: float = 0.0  # occupancy sparsity prior, not in reference
     smooth_lambda: float = 1000.0
     mixing: float = 0.9
     d_reg_every: int = 16
@@ -238,6 +244,7 @@ def make_stage_a_g_step(
     is_ngp = gcfg.renderer.type == "ngp"
     use_eik = hp.eikonal_lambda > 0
     use_msurf = hp.min_surf_lambda > 0
+    use_sparsity = hp.sparsity_lambda > 0
     use_view = hp.view_lambda > 0 and dcfg.viewpoint_head
 
     def step(
@@ -261,7 +268,7 @@ def make_stage_a_g_step(
                 cams.near,
                 cams.far,
                 key=kr,
-                return_sdf=use_msurf,
+                return_sdf=use_msurf or use_sparsity,
                 return_xyz=True,  # mask -> fg_mass diagnostic (below)
                 return_eikonal=use_eik,
             )
@@ -282,6 +289,11 @@ def make_stage_a_g_step(
             loss = (
                 g_gan + g_view + hp.eikonal_lambda * eik + hp.min_surf_lambda * msurf
             )
+            if use_sparsity:
+                sparsity = occupancy_sparsity_loss(
+                    out.sdf, gp["renderer"]["sigmoid_beta"]
+                )
+                loss = loss + hp.sparsity_lambda * sparsity
             metrics = {
                 "g": g_gan,
                 "g_view": g_view,
@@ -295,6 +307,8 @@ def make_stage_a_g_step(
                 # still looks like a converging GAN (docs/TRAINING_RUN.md).
                 "fg_mass": 1.0 - jnp.mean(out.mask),
             }
+            if use_sparsity:
+                metrics["g_sparsity"] = hp.sparsity_lambda * sparsity
             if is_ngp and hp.smooth_lambda > 0:
                 smooth = hash_smoothness_loss(
                     gp["renderer"]["network"]["hash_table"],

@@ -115,6 +115,42 @@ def test_stage_a_steps():
     assert _finite(g) and _finite(d) and _finite(ema)
 
 
+def test_occupancy_sparsity_loss_prices_fog_above_geometry():
+    """The prior must make the measured fog regime (sdf ~ -0.07 everywhere,
+    docs/TRAINING_RUN.md) strictly more expensive than a surface-bearing
+    field, and must not backprop into the learnable beta (else it would
+    fight the beta anneal by widening the sigmoid)."""
+    from sdface_gan_tpu.losses.geometry_losses import occupancy_sparsity_loss
+
+    beta = jnp.asarray([0.0756])
+    fog = jnp.full((2, 4, 4, 8, 1), -0.07)
+    # a surface: sdf < 0 on only 1/8 of samples, saturated positive outside
+    geo = jnp.where(jnp.arange(8).reshape(1, 1, 1, 8, 1) == 3, -0.2, 0.5)
+    geo = jnp.broadcast_to(geo, fog.shape)
+    l_fog = float(occupancy_sparsity_loss(fog, beta))
+    l_geo = float(occupancy_sparsity_loss(geo, beta))
+    assert l_fog > 0.5 and l_geo < 0.2 and l_fog > 3 * l_geo
+    g_beta = jax.grad(lambda b: occupancy_sparsity_loss(fog, b))(beta)
+    assert float(jnp.abs(g_beta).max()) == 0.0
+
+
+def test_stage_a_sparsity_metric():
+    """sparsity_lambda > 0 wires the occupancy prior into the stage-A G
+    step (and forces return_sdf) even with min_surf off."""
+    hp = TrainHParams(batch=2, style_dim=16, sparsity_lambda=0.1,
+                      min_surf_lambda=0.0)
+    g = init_generator(KEY, A_GCFG)
+    d = init_volume_render_discriminator(KEY, A_DCFG)
+    g_tx, _ = stage_a_optimizers()
+    g_step = jax.jit(make_stage_a_g_step(A_GCFG, A_DCFG, hp, g_tx))
+    g_state = g_tx.init(g)
+    ema = jax.tree_util.tree_map(jnp.copy, g)
+    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(3))
+    assert "g_sparsity" in gm and np.isfinite(float(gm["g_sparsity"]))
+    assert 0.0 < float(gm["g_sparsity"]) < hp.sparsity_lambda
+    assert _finite(g)
+
+
 def test_stage_a_ngp_smoothness_metric():
     gcfg = GeneratorConfig(
         size=16, style_dim=16, full_pipeline=False,
