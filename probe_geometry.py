@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--mesh", action="store_true",
                    help="also run marching cubes and report vert/face counts")
+    p.add_argument("--out", type=str, default=None,
+                   help="experiment dir override (default ./out/<expname> "
+                        "from the config)")
     return p.parse_args(argv)
 
 
@@ -79,7 +82,7 @@ def main(argv=None) -> None:
 
     cfg = load_config(args.config, default_config_path())
     expname = cfg["training"]["out_dir"].split("/")[1]
-    out_base = os.path.join("./out", expname)
+    out_base = args.out or os.path.join("./out", expname)
 
     stage_a = args.stage == "a"
     opt = get_vol_render_opt(expname, stage_a, ngp=bool(args.ngp),
