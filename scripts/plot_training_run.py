@@ -84,7 +84,9 @@ def main(argv=None):
         panel(axes[1, 0], series, ["d_view", "g_view"], "Viewpoint loss",
               labels=["D branch", "G branch"])
         panel(axes[1, 1], series, ["g_eikonal"], "Eikonal term (weighted)")
-        panel(axes[1, 2], series, ["g_minimal_surface"], "Minimal-surface term (weighted)")
+        panel(axes[1, 2], series, ["g_minimal_surface", "g_sparsity"],
+              "Geometry priors (weighted)",
+              labels=["minimal surface", "occupancy sparsity"])
         panel(axes[1, 3], series, ["beta"], "Sigmoid beta (SDF sharpness)")
         axes[1, 3].set_yscale("log")
     elif args.stage == "b":

@@ -38,6 +38,7 @@ def renderer_config(opt: ConfigNode, stage_a: bool) -> RendererConfig:
         perturb=r.perturb,
         raw_noise_std=r.raw_noise_std,
         bg_mode=r.get("bg_mode", "lastsample"),
+        view_independent=r.get("view_independent", False),
         ngp_num_levels=r.get("num_levels", 16),
         ngp_level_dim=r.get("level_dim", 2),
         ngp_finest_res=r.get("finest_res", 4096),
@@ -83,6 +84,7 @@ def train_hparams(opt: ConfigNode) -> TrainHParams:
         min_surf_lambda=t.min_surf_lambda,
         min_surf_beta=t.min_surf_beta,
         sparsity_lambda=t.get("sparsity_lambda", 0.0),
+        distortion_lambda=t.get("distortion_lambda", 0.0),
         smooth_lambda=t.get("smooth_lambda", 1000.0),
         mixing=t.mixing,
         d_reg_every=t.d_reg_every,

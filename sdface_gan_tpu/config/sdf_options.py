@@ -46,6 +46,10 @@ def sdf_defaults() -> ConfigNode:
             # fog/geometry tie on background-matched synthetic data,
             # docs/TRAINING_RUN.md)
             sparsity_lambda=0.0,
+            # mip-NeRF 360 distortion prior (not in reference; concentrates
+            # per-ray weight into a thin interval — the anti-fog counter
+            # that never taxes a saturated interior, docs/TRAINING_RUN.md)
+            distortion_lambda=0.0,
             smooth_lambda=1000.0,  # hardcoded 1000x in reference training_utils.py:437
             path_regularize=2.0,
             path_batch_shrink=2,
@@ -97,6 +101,9 @@ def sdf_defaults() -> ConfigNode:
             return_sdf=False,
             type="sdf",  # 'sdf' | 'ngp'; set by --ngp (training_utils.py:189)
             bg_mode="lastsample",  # 'lastsample' | 'white' | 'gray' | 'black'
+            # zero the view branch of the field (kills the light-field
+            # painting shortcut on synthetic data, docs/TRAINING_RUN.md)
+            view_independent=False,
             fc=False,
             no_features_output=False,
             # NGP grid geometry (reference hardcodes, sdf_model.py:1534-1545);

@@ -53,6 +53,38 @@ def occupancy_sparsity_loss(sdf: jnp.ndarray, sigmoid_beta: jnp.ndarray) -> jnp.
     return jnp.mean(jax.nn.sigmoid(-sdf.astype(jnp.float32) / beta))
 
 
+def distortion_loss(weights: jnp.ndarray, s_vals: jnp.ndarray) -> jnp.ndarray:
+    """mip-NeRF 360 distortion: concentrate each ray's compositing weight
+    into a thin interval.
+
+    ``L = mean_ray [ sum_ij w_i w_j |s_i - s_j| + (1/3) sum_i w_i^2 d_i ]``
+    with ``s`` the normalized sample positions in [0, 1] and ``d`` the
+    interval widths.  Not in the reference; added as a second tie-breaker
+    against the measured fog regime (docs/TRAINING_RUN.md): fog spreads
+    weight across the whole ray and pays O(w_total^2); a surface
+    concentrates weight in one interval and pays ~0; an empty (background)
+    ray pays ~0.  Unlike :func:`occupancy_sparsity_loss` it never taxes a
+    saturated interior, so it cannot push a healthy surface positive.
+
+    Both tensors are the squeezed ``[B, H, W, S]`` layout (CLAUDE.md: no
+    trailing singletons in hot paths).  ``s`` is ascending per ray, so the
+    pairwise term has the exact O(S) cumsum form
+    ``2 sum_i w_i (s_i * W_{<i} - (ws)_{<i})``.
+    """
+    w = weights.astype(jnp.float32)
+    s = s_vals.astype(jnp.float32)
+    # interval widths: forward diffs, last interval reuses the previous one
+    # (matches the integrator's finite last bin under a fixed background)
+    d = jnp.diff(s, axis=-1)
+    d = jnp.concatenate([d, d[..., -1:]], axis=-1)
+    ws = w * s
+    w_before = jnp.cumsum(w, axis=-1) - w  # exclusive prefix sums
+    ws_before = jnp.cumsum(ws, axis=-1) - ws
+    pairwise = 2.0 * jnp.sum(w * (s * w_before - ws_before), axis=-1)
+    intra = jnp.sum(w * w * d, axis=-1) / 3.0
+    return jnp.mean(pairwise + intra)
+
+
 def sphere_init_loss(sdf: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """L1 regression of raw SDF to a centered sphere
     (reference ``training_utils.py:307``: ``F.l1_loss(sdf, target)``)."""

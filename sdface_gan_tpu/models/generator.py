@@ -69,6 +69,8 @@ class GeneratorOutput(NamedTuple):
     eikonal_term: Optional[jnp.ndarray]
     mask: Optional[jnp.ndarray]
     latent: Optional[jnp.ndarray]  # decoder per-layer latent (path-reg)
+    weights: Optional[jnp.ndarray] = None  # [B, res, res, S] compositing
+    s_vals: Optional[jnp.ndarray] = None  # [B, res, res, S] samples in [0,1]
 
 
 def init_generator(key: jax.Array, cfg: GeneratorConfig) -> Params:
@@ -140,6 +142,7 @@ def generator_forward(
     return_sdf: bool = False,
     return_xyz: bool = False,
     return_eikonal: bool = False,
+    return_weights: bool = False,
     randomize_noise: bool = True,
     decoder_noise: Optional[List[Optional[jnp.ndarray]]] = None,
     renderer_latent: Optional[jnp.ndarray] = None,
@@ -160,6 +163,8 @@ def generator_forward(
     rcfg = cfg.renderer
     if return_sdf or return_xyz:
         rcfg = replace(rcfg, return_sdf=return_sdf, return_xyz=return_xyz)
+    if return_weights:
+        rcfg = replace(rcfg, return_weights=True)
     rkey = dkey = None
     if key is not None:
         rkey, dkey = jax.random.split(key)
@@ -218,6 +223,8 @@ def generator_forward(
         eikonal_term=out.eikonal_term,
         mask=out.mask,
         latent=dec_latent if return_latents else None,
+        weights=out.weights,
+        s_vals=out.s_vals,
     )
 
 

@@ -61,6 +61,17 @@ class RendererConfig:
     output_features: bool = True
     return_xyz: bool = False
     return_sdf: bool = False
+    # Also return the compositing weights [B,H,W,S] and normalized sample
+    # positions (for the distortion prior, losses/geometry_losses.py).
+    return_weights: bool = False
+    # Zero the view-direction branch of the field network.  The reference
+    # always conditions rgb on view dirs (sdf_model.py:123-130) — correct
+    # for real faces (specularities) but on synthetic data it lets ANY 2D
+    # surface act as a light field that paints pose-consistent images with
+    # no geometry (two such collapses measured, docs/TRAINING_RUN.md).
+    # With rgb view-independent, each world point has ONE color, so
+    # pose-varied data can only be explained by parallax — i.e. geometry.
+    view_independent: bool = False
     perturb: float = 1.0
     raw_noise_std: float = 0.0
     # Inference fast path: fused Pallas SIREN kernel (ops/siren_kernel.py).
@@ -141,6 +152,8 @@ class RenderOutput(NamedTuple):
     mask: Optional[jnp.ndarray]  # [B, H, W, 1] background probability
     xyz: Optional[jnp.ndarray]  # [B, H, W, 3] expected surface points
     eikonal_term: Optional[jnp.ndarray]  # [B, H, W, S, 3] d sdf / d pts
+    weights: Optional[jnp.ndarray] = None  # [B, H, W, S] compositing weights
+    s_vals: Optional[jnp.ndarray] = None  # [B, H, W, S] samples in [0, 1]
 
 
 def init_renderer(key: jax.Array, cfg: RendererConfig) -> Params:
@@ -322,7 +335,8 @@ def _integrate(
     else:
         mask = None
     sdf_out = sdf if cfg.return_sdf else None
-    return rgb_map, feature_map, sdf_out, mask, xyz
+    weights_out = weights if cfg.return_weights else None
+    return rgb_map, feature_map, sdf_out, mask, xyz, weights_out
 
 
 def render(
@@ -356,6 +370,8 @@ def render(
         zkey, nkey = jax.random.split(key)
     z_vals = _sample_z_vals(cfg, near_b, far_b, batch, zkey)
     pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., None]
+    if cfg.view_independent:
+        viewdirs = jnp.zeros_like(viewdirs)
     views = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
 
     def field(p):
@@ -386,10 +402,15 @@ def render(
         parts = field(pts)
         eikonal_term = None
 
-    rgb_map, feature_map, sdf_out, mask, xyz = _integrate(
+    rgb_map, feature_map, sdf_out, mask, xyz, weights = _integrate(
         params, cfg, parts, z_vals, rays.directions, pts, noise_key=nkey
     )
-    return RenderOutput(rgb_map, feature_map, sdf_out, mask, xyz, eikonal_term)
+    s_vals = None
+    if cfg.return_weights:
+        s_vals = ((z_vals - near_b) / (far_b - near_b)).astype(jnp.float32)
+    return RenderOutput(
+        rgb_map, feature_map, sdf_out, mask, xyz, eikonal_term, weights, s_vals
+    )
 
 
 def mlp_init_pass(

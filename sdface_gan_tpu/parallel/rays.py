@@ -48,6 +48,8 @@ def render_ray_sharded(
         raise ValueError(f"image height {res} must divide the mesh size {n_dev}")
 
     rays = get_rays(focal, c2w, res, static_viewdirs=cfg.static_viewdirs)
+    if cfg.view_independent:
+        rays = rays._replace(viewdirs=jnp.zeros_like(rays.viewdirs))
     near_b = near.reshape(batch, 1, 1, 1)
     far_b = far.reshape(batch, 1, 1, 1)
     t_vals = base_t_vals(s, cfg.offset_sampling).reshape(1, 1, 1, s)
@@ -61,7 +63,7 @@ def render_ray_sharded(
         normalized = pts * scale_band[..., None] if cfg.z_normalize else pts
         v = jnp.broadcast_to(views[..., None, :], pts.shape)
         parts = _apply_network(params, cfg, normalized, v, style_loc)
-        rgb, features, sdf, mask, xyz = _integrate(
+        rgb, features, sdf, mask, xyz, _ = _integrate(
             params, cfg, parts, z_band, dirs, pts
         )
         # dict of the non-None outputs: every entry is image-row sharded,

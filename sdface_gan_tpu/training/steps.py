@@ -41,6 +41,7 @@ from ..losses.gan_losses import (
     viewpoints_loss,
 )
 from ..losses.geometry_losses import (
+    distortion_loss,
     eikonal_loss,
     hash_smoothness_loss,
     occupancy_sparsity_loss,
@@ -90,6 +91,7 @@ class TrainHParams:
     min_surf_lambda: float = 0.05
     min_surf_beta: float = 100.0
     sparsity_lambda: float = 0.0  # occupancy sparsity prior, not in reference
+    distortion_lambda: float = 0.0  # mip-NeRF 360 distortion, not in reference
     smooth_lambda: float = 1000.0
     mixing: float = 0.9
     d_reg_every: int = 16
@@ -245,6 +247,7 @@ def make_stage_a_g_step(
     use_eik = hp.eikonal_lambda > 0
     use_msurf = hp.min_surf_lambda > 0
     use_sparsity = hp.sparsity_lambda > 0
+    use_dist = hp.distortion_lambda > 0
     use_view = hp.view_lambda > 0 and dcfg.viewpoint_head
 
     def step(
@@ -271,6 +274,7 @@ def make_stage_a_g_step(
                 return_sdf=use_msurf or use_sparsity,
                 return_xyz=True,  # mask -> fg_mass diagnostic (below)
                 return_eikonal=use_eik,
+                return_weights=use_dist,
             )
             fake_pred, fake_view = apply_volume_render_discriminator(
                 d_params, dcfg, out.thumb_rgb
@@ -309,6 +313,10 @@ def make_stage_a_g_step(
             }
             if use_sparsity:
                 metrics["g_sparsity"] = hp.sparsity_lambda * sparsity
+            if use_dist:
+                dist = distortion_loss(out.weights, out.s_vals)
+                loss = loss + hp.distortion_lambda * dist
+                metrics["g_distortion"] = hp.distortion_lambda * dist
             if is_ngp and hp.smooth_lambda > 0:
                 smooth = hash_smoothness_loss(
                     gp["renderer"]["network"]["hash_table"],

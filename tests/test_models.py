@@ -134,6 +134,59 @@ def test_renderer_fixed_background_modes():
     assert float(jnp.max(jnp.abs(out_ref.mask - 1.0))) < 1e-3
 
 
+def test_renderer_view_independent_cuts_view_dependence():
+    """With ``view_independent``, rgb must be invariant to the view branch:
+    static vs per-ray viewdirs give identical images (each world point has
+    one color).  Without it the default-init views head makes them differ —
+    the light-field leak that enables the measured painting collapses
+    (docs/TRAINING_RUN.md)."""
+    from dataclasses import replace
+
+    base = RendererConfig(
+        type="sdf", out_im_res=4, n_samples=5, style_dim=16, width=16, depth=1,
+        perturb=0.0,
+    )
+    p = init_renderer(KEY, base)
+    cams = generate_camera_params(base.out_im_res, jax.random.PRNGKey(1), batch=1)
+    style = jax.random.normal(KEY, (1, base.style_dim))
+
+    def rgb_of(cfg):
+        return np.asarray(
+            render(p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far, style).rgb
+        )
+
+    dep = rgb_of(base)
+    dep_static = rgb_of(replace(base, static_viewdirs=True))
+    assert np.abs(dep - dep_static).max() > 1e-4  # views head is live
+    ind = rgb_of(replace(base, view_independent=True))
+    ind_static = rgb_of(replace(base, view_independent=True, static_viewdirs=True))
+    np.testing.assert_allclose(ind, ind_static, atol=0)
+
+
+def test_renderer_return_weights():
+    """``return_weights`` exposes the squeezed [B,H,W,S] compositing weights
+    and normalized sample positions; leftover transmittance (the mask under
+    a fixed background) must equal 1 - sum(weights)."""
+    cfg = RendererConfig(
+        type="sdf", out_im_res=4, n_samples=5, style_dim=16, width=16, depth=1,
+        perturb=0.0, return_xyz=True, return_weights=True, bg_mode="gray",
+    )
+    p = init_renderer(KEY, cfg)
+    cams = generate_camera_params(cfg.out_im_res, jax.random.PRNGKey(1), batch=1)
+    style = jax.random.normal(KEY, (1, cfg.style_dim))
+    out = render(p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far, style)
+    assert out.weights.shape == (1, 4, 4, 5)
+    assert out.s_vals.shape == (1, 4, 4, 5)
+    s = np.asarray(out.s_vals)
+    assert s.min() >= 0.0 and s.max() <= 1.0 + 1e-6
+    assert np.all(np.diff(s, axis=-1) > 0)
+    np.testing.assert_allclose(
+        np.asarray(out.mask[..., 0]),
+        1.0 - np.asarray(out.weights).sum(-1),
+        atol=1e-6,
+    )
+
+
 def test_integrate_matches_naive_reference_formula():
     """The lane-dense [B,H,W,S] compositing chain must equal a naive
     transcription of the reference ``volume_integration``
@@ -154,7 +207,7 @@ def test_integrate_matches_naive_reference_formula():
     rays_d = jax.random.normal(k[4], (b, h, w, 3))
     pts = jax.random.normal(k[5], (b, h, w, s, 3))
 
-    rgb_map, feat_map, sdf_out, mask, xyz = _integrate(
+    rgb_map, feat_map, sdf_out, mask, xyz, _ = _integrate(
         p, cfg, (rgb, sdf, feat), z_vals, rays_d, pts
     )
 

@@ -151,6 +151,54 @@ def test_stage_a_sparsity_metric():
     assert _finite(g)
 
 
+def test_distortion_loss_prices_fog_above_surface():
+    """mip-NeRF 360 distortion: spread weight (fog) pays, weight
+    concentrated in one interval (a surface) pays ~an interval width,
+    empty rays pay ~0; the O(S) cumsum form must match the O(S^2)
+    pairwise definition."""
+    from sdface_gan_tpu.losses.geometry_losses import distortion_loss
+
+    s = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 8), (2, 3, 3, 8))
+    fog = jnp.full((2, 3, 3, 8), 1.0 / 8.0)
+    surf = jnp.zeros((2, 3, 3, 8)).at[..., 3].set(0.9)
+    empty = jnp.zeros((2, 3, 3, 8))
+    l_fog = float(distortion_loss(fog, s))
+    l_surf = float(distortion_loss(surf, s))
+    l_empty = float(distortion_loss(empty, s))
+    assert l_fog > 5 * l_surf > 0 and l_empty == 0.0
+
+    # brute-force pairwise check on random weights
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    w = jax.random.uniform(k1, (2, 3, 3, 8)) * 0.2
+    sv = jnp.sort(jax.random.uniform(k2, (2, 3, 3, 8)), axis=-1)
+    d = jnp.diff(sv, axis=-1)
+    d = jnp.concatenate([d, d[..., -1:]], axis=-1)
+    pair = jnp.sum(
+        w[..., :, None] * w[..., None, :]
+        * jnp.abs(sv[..., :, None] - sv[..., None, :]),
+        axis=(-2, -1),
+    )
+    ref = float(jnp.mean(pair + jnp.sum(w * w * d, -1) / 3.0))
+    np.testing.assert_allclose(float(distortion_loss(w, sv)), ref, rtol=1e-5)
+
+
+def test_stage_a_distortion_metric():
+    """distortion_lambda > 0 threads return_weights through the generator
+    and adds the weighted distortion term to the stage-A G loss."""
+    hp = TrainHParams(batch=2, style_dim=16, distortion_lambda=0.1,
+                      min_surf_lambda=0.0, sparsity_lambda=0.0)
+    g = init_generator(KEY, A_GCFG)
+    d = init_volume_render_discriminator(KEY, A_DCFG)
+    g_tx, _ = stage_a_optimizers()
+    g_step = jax.jit(make_stage_a_g_step(A_GCFG, A_DCFG, hp, g_tx))
+    g_state = g_tx.init(g)
+    ema = jax.tree_util.tree_map(jnp.copy, g)
+    g, g_state, ema, gm = g_step(g, d, g_state, ema, jax.random.PRNGKey(3))
+    assert "g_distortion" in gm and np.isfinite(float(gm["g_distortion"]))
+    assert float(gm["g_distortion"]) >= 0.0
+    assert _finite(g)
+
+
 def test_stage_a_ngp_smoothness_metric():
     gcfg = GeneratorConfig(
         size=16, style_dim=16, full_pipeline=False,
