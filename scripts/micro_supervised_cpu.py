@@ -9,10 +9,10 @@ parallax supervision alone produce a zero-crossing SDF, and does the
 view-independent field (rendering.view_independent) need it / the
 view-dependent field dodge it?
 
-Four arms: {view_dep, view_indep} x {sparsity 0, 0.05}.
+Arms: {view_dep, view_indep} x {sparsity, distortion} lambdas.
 
 Usage: python scripts/micro_supervised_cpu.py <view_independent 0|1>
-           [sparsity_lambda] [iters]
+           [sparsity_lambda] [iters] [distortion_lambda]
 
 This validates the *mechanism* the solid configs rely on
 (docs/TRAINING_RUN.md "The remaining leak"): if even supervised fitting
@@ -31,17 +31,22 @@ import jax.numpy as jnp
 import optax
 
 from sdface_gan_tpu.geometry import generate_camera_params
-from sdface_gan_tpu.losses.geometry_losses import occupancy_sparsity_loss
+from sdface_gan_tpu.losses.geometry_losses import (
+    distortion_loss,
+    occupancy_sparsity_loss,
+)
 from sdface_gan_tpu.models.renderer import RendererConfig, init_renderer, render
 
 VIEW_INDEP = bool(int(sys.argv[1])) if len(sys.argv) > 1 else True
 LAM = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
 ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+LAM_DIST = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 RES, NS, W = 16, 10, 32
 
 CFG = RendererConfig(
     type="sdf", out_im_res=RES, n_samples=NS, style_dim=32, width=W, depth=3,
     bg_mode="gray", view_independent=VIEW_INDEP, return_sdf=True, perturb=0.0,
+    return_weights=LAM_DIST > 0,
 )
 
 # --- fixed posed views of one lambertian blob (same camera model the
@@ -59,15 +64,22 @@ cams = generate_camera_params(RES, None, batch=N_VIEWS, locations=locations)
 
 
 def render_blob(cams):
-    """Analytic render of a lambertian sphere (r=0.35 at origin) through the
-    SAME ray geometry as the renderer: per-pixel ray-sphere intersection."""
+    """Analytic render of a lambertian sphere at the origin through the
+    SAME ray geometry as the renderer: per-pixel ray-sphere intersection.
+
+    The radius must keep the surface INSIDE the sampled depth band
+    [near, far] = [0.88, 1.12] (camera distance ~1): r < 0.12, and small
+    enough that some background pixels remain (angular radius below the
+    6 deg half-fov).  r=0.35 was measured to be degenerate — the whole
+    band sits inside the sphere, so a crossing-free negative SDF is the
+    CORRECT fit and the arms can't be compared."""
     from sdface_gan_tpu.geometry.rays import get_rays
 
     rays = get_rays(cams.focal, cams.extrinsics, RES, static_viewdirs=False)
     o = np.asarray(rays.origins)  # [V,H,W,3]
     d = np.asarray(rays.directions)
     d = d / np.linalg.norm(d, axis=-1, keepdims=True)
-    r = 0.35
+    r = 0.10
     b = np.sum(o * d, axis=-1)
     c = np.sum(o * o, axis=-1) - r * r
     disc = b * b - c
@@ -87,6 +99,7 @@ def render_blob(cams):
 
 
 TARGET = render_blob(cams)
+print(f"target bg fraction {float(np.mean(np.all(np.asarray(TARGET) == 0.0, -1))):.3f}")
 STYLE = jnp.zeros((N_VIEWS, 32))  # one identity; style path held constant
 
 params = init_renderer(jax.random.PRNGKey(1), CFG)
@@ -98,7 +111,10 @@ def loss_fn(p):
     out = render(p, CFG, cams.focal, cams.extrinsics, cams.near, cams.far, STYLE)
     l2 = jnp.mean((out.rgb - TARGET) ** 2)
     spars = occupancy_sparsity_loss(out.sdf, p["sigmoid_beta"])
-    return l2 + LAM * spars, (l2, spars)
+    loss = l2 + LAM * spars
+    if LAM_DIST > 0:
+        loss = loss + LAM_DIST * distortion_loss(out.weights, out.s_vals)
+    return loss, (l2, spars)
 
 
 @jax.jit
@@ -125,7 +141,7 @@ def probe(p, tag):
     return crossing
 
 
-print(f"view_independent={VIEW_INDEP} sparsity={LAM} iters={ITERS}")
+print(f"view_independent={VIEW_INDEP} sparsity={LAM} distortion={LAM_DIST} iters={ITERS}")
 probe(params, "init")
 t0 = time.time()
 for i in range(ITERS):
