@@ -6,7 +6,13 @@ from .gan_losses import (
     g_path_regularize,
     viewpoints_loss,
 )
-from .geometry_losses import eikonal_loss, hash_smoothness_loss, sphere_init_loss
+from .geometry_losses import (
+    distortion_loss,
+    eikonal_loss,
+    hash_smoothness_loss,
+    occupancy_sparsity_loss,
+    sphere_init_loss,
+)
 
 __all__ = [
     "d_logistic_loss",
@@ -18,4 +24,6 @@ __all__ = [
     "eikonal_loss",
     "sphere_init_loss",
     "hash_smoothness_loss",
+    "occupancy_sparsity_loss",
+    "distortion_loss",
 ]
