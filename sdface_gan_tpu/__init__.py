@@ -35,4 +35,4 @@ Package layout:
   serving.py   compiled warmed sampler for deployment
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
