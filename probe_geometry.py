@@ -40,7 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--identities", type=int, default=4)
     p.add_argument("--res", type=int, default=64,
                    help="probe volume resolution (res^2 rays x res samples)")
-    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--size", type=int, default=None,
+                   help="decoder output resolution (default: the config's "
+                        "data.img_size) — must match the checkpoint for "
+                        "stage-b probes")
     p.add_argument("--mesh", action="store_true",
                    help="also run marching cubes and report vert/face counts")
     p.add_argument("--out", type=str, default=None,
@@ -83,6 +86,8 @@ def main(argv=None) -> None:
     cfg = load_config(args.config, default_config_path())
     expname = cfg["training"]["out_dir"].split("/")[1]
     out_base = args.out or os.path.join("./out", expname)
+    if args.size is None:
+        args.size = int(cfg["data"]["img_size"])
 
     stage_a = args.stage == "a"
     opt = get_vol_render_opt(expname, stage_a, ngp=bool(args.ngp),

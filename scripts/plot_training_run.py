@@ -26,6 +26,15 @@ INK, MUTED, GRID = "#1a1a1a", "#555555", "#e3e3e3"
 
 def load(path):
     rows = [json.loads(line) for line in open(path)]
+    # The loop appends across launches.  A clean resume continues at i+1
+    # (steps keep increasing); a restart-from-scratch rewinds the step
+    # counter.  Keep only the final monotonic segment so curves from a
+    # crashed earlier attempt don't criss-cross the completed run.
+    start = 0
+    for i in range(1, len(rows)):
+        if rows[i]["step"] <= rows[i - 1]["step"]:
+            start = i
+    rows = rows[start:]
     series = {}
     for r in rows:
         for k, v in r.items():
