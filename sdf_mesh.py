@@ -24,7 +24,9 @@ def parse_args(argv=None):
     p.add_argument("--ngp", type=int, default=0)
     p.add_argument("--fc", type=int, default=0)
     p.add_argument("--identities", type=int, default=8)
-    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--size", type=int, default=None,
+                   help="decoder output resolution (default: the config's "
+                        "data.img_size) — must match the checkpoint")
     p.add_argument("--truncation_ratio", type=float, default=0.5)
     p.add_argument("--surface_res", type=int, default=128)
     p.add_argument("--no_surface_renderings", action="store_true")
@@ -63,6 +65,8 @@ def main(argv=None) -> None:
     cfg = load_config(args.config, default_config_path())
     expname = cfg["training"]["out_dir"].split("/")[1]
     out_base = os.path.join("./out", expname)
+    if args.size is None:
+        args.size = int(cfg["data"].get("img_size", 256))
     render_dir = os.path.join(out_base, "renders")
     mesh_dir = os.path.join(out_base, "meshes")
     os.makedirs(render_dir, exist_ok=True)

@@ -95,3 +95,31 @@ def test_rendering_overrides_plumb_to_hash_grid():
     grid0 = generator_config(opt0, stage_a=True).renderer.network_config().grid
     assert grid0.num_levels == 16
     assert grid0.log2_hashmap_size == 19
+
+
+def test_geometry_counter_knobs_plumb_from_shipped_yaml():
+    """The stacked-counters yaml (the config that produced the verified-
+    geometry run, docs/TRAINING_RUN.md) must reach the renderer and the
+    train hparams: bg_mode/view_independent via the rendering section,
+    sparsity/distortion lambdas via train_args."""
+    from sdface_gan_tpu.config.build import generator_config, train_hparams
+    from sdface_gan_tpu.config.sdf_options import rendering_overrides
+    from sdface_gan_tpu.config.yaml_config import default_config_path
+
+    for path, want in [
+        ("configs/64res/synthetic_64_sdf_solid.yaml",
+         dict(bg="gray", vi=True, sparsity=0.1, dist=0.0)),
+        ("configs/64res/synthetic_64_sdf_solid_dist.yaml",
+         dict(bg="gray", vi=True, sparsity=0.01, dist=0.1)),
+    ]:
+        cfg = load_config(os.path.join(os.path.dirname(__file__), "..", path),
+                          default_config_path())
+        opt = get_vol_render_opt("exp", True, size=64,
+                                 extra_argv=rendering_overrides(cfg))
+        rcfg = generator_config(opt, stage_a=True).renderer
+        assert rcfg.bg_mode == want["bg"], path
+        assert rcfg.view_independent is want["vi"], path
+        hp = train_hparams(opt)
+        assert hp.sparsity_lambda == want["sparsity"], path
+        assert hp.distortion_lambda == want["dist"], path
+        assert hp.r1 == 100.0, path
