@@ -86,6 +86,7 @@ def train_hparams(opt: ConfigNode) -> TrainHParams:
         sparsity_lambda=t.get("sparsity_lambda", 0.0),
         distortion_lambda=t.get("distortion_lambda", 0.0),
         smooth_lambda=t.get("smooth_lambda", 1000.0),
+        g_param_dtype=t.get("g_param_dtype", "float32"),
         mixing=t.mixing,
         d_reg_every=t.d_reg_every,
         g_reg_every=t.g_reg_every,

@@ -51,6 +51,9 @@ def sdf_defaults() -> ConfigNode:
             # that never taxes a saturated interior, docs/TRAINING_RUN.md)
             distortion_lambda=0.0,
             smooth_lambda=1000.0,  # hardcoded 1000x in reference training_utils.py:437
+            # stage-A G-step compute dtype ("float32" | "bfloat16"); the
+            # optimizer/EMA master params stay f32 (training/steps.py)
+            g_param_dtype="float32",
             path_regularize=2.0,
             path_batch_shrink=2,
             wandb=False,

@@ -93,6 +93,14 @@ class TrainHParams:
     sparsity_lambda: float = 0.0  # occupancy sparsity prior, not in reference
     distortion_lambda: float = 0.0  # mip-NeRF 360 distortion, not in reference
     smooth_lambda: float = 1000.0
+    # Mixed-precision stage-A G step: cast the f32 master params to this
+    # dtype INSIDE the loss closure (grads come back f32 through the cast's
+    # VJP, so optimizer/EMA state stays full precision).  "bfloat16" halves
+    # the [B*res^2*S, width] activation traffic of the eikonal
+    # reverse-over-reverse — the binding cost of the 355 ms G step
+    # (docs/PERFORMANCE.md).  The renderer pins compositing to f32
+    # internally regardless.
+    g_param_dtype: str = "float32"
     mixing: float = 0.9
     d_reg_every: int = 16
     g_reg_every: int = 4
@@ -249,6 +257,7 @@ def make_stage_a_g_step(
     use_sparsity = hp.sparsity_lambda > 0
     use_dist = hp.distortion_lambda > 0
     use_view = hp.view_lambda > 0 and dcfg.viewpoint_head
+    cast_dt = None if hp.g_param_dtype == "float32" else jnp.dtype(hp.g_param_dtype)
 
     def step(
         g_params: Params,
@@ -262,8 +271,16 @@ def make_stage_a_g_step(
         cams = _sample_cameras(kc, res, hp.batch, hp.camera)
 
         def loss_fn(gp):
+            gp_c = (
+                gp
+                if cast_dt is None
+                else jax.tree_util.tree_map(
+                    lambda x: x.astype(cast_dt) if x.dtype == jnp.float32 else x,
+                    gp,
+                )
+            )
             out = generator_forward(
-                gp,
+                gp_c,
                 gcfg,
                 [z],
                 cams.extrinsics,

@@ -115,6 +115,44 @@ def test_stage_a_steps():
     assert _finite(g) and _finite(d) and _finite(ema)
 
 
+def test_stage_a_g_step_bf16_mixed_precision():
+    """g_param_dtype='bfloat16' casts the field INSIDE the loss closure:
+    params/opt state/EMA must stay f32 (master weights), the step must run
+    the eikonal double-backprop in bf16 without NaNs, and the loss must
+    stay close to the f32 step on identical seeds."""
+    kg, kd = jax.random.split(KEY)
+    g = init_generator(kg, A_GCFG)
+    d = init_volume_render_discriminator(kd, A_DCFG)
+    g_tx, _ = stage_a_optimizers()
+
+    results = {}
+    for dt in ("float32", "bfloat16"):
+        hp = TrainHParams(batch=4, style_dim=16, g_param_dtype=dt)
+        step = jax.jit(make_stage_a_g_step(A_GCFG, A_DCFG, hp, g_tx))
+        g1, gs1, ema1, gm = step(
+            g, d, g_tx.init(g), jax.tree_util.tree_map(jnp.copy, g),
+            jax.random.PRNGKey(2),
+        )
+        assert _finite(g1) and _finite(ema1)
+        assert all(
+            x.dtype == jnp.float32
+            for x in jax.tree_util.tree_leaves(g1)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
+        results[dt] = (g1, gm)
+    m32, m16 = results["float32"][1], results["bfloat16"][1]
+    # same seeds -> the bf16 step is the same step at lower precision
+    assert abs(float(m16["g"]) - float(m32["g"])) < 0.1 * (
+        1.0 + abs(float(m32["g"]))
+    )
+    # and it actually updated the params (not a no-op cast)
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        results["float32"][0], g,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
 def test_occupancy_sparsity_loss_prices_fog_above_geometry():
     """The prior must make the measured fog regime (sdf ~ -0.07 everywhere,
     docs/TRAINING_RUN.md) strictly more expensive than a surface-bearing
