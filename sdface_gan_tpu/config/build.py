@@ -39,6 +39,8 @@ def renderer_config(opt: ConfigNode, stage_a: bool) -> RendererConfig:
         raw_noise_std=r.raw_noise_std,
         bg_mode=r.get("bg_mode", "lastsample"),
         view_independent=r.get("view_independent", False),
+        eikonal_subsample=r.get("eikonal_subsample", 0),
+        remat=not r.get("no_remat", False),
         ngp_num_levels=r.get("num_levels", 16),
         ngp_level_dim=r.get("level_dim", 2),
         ngp_finest_res=r.get("finest_res", 4096),

@@ -109,6 +109,14 @@ def sdf_defaults() -> ConfigNode:
             view_independent=False,
             fc=False,
             no_features_output=False,
+            # eikonal point budget: 0 = all rendered points (reference
+            # semantics); M > 0 = M fresh frustum points per batch element
+            # — detaches the second-order pass from the render graph,
+            # measured 4.3x on the stage-A G step (docs/PERFORMANCE.md)
+            eikonal_subsample=0,
+            # skip field rematerialization (only safe when the backward
+            # fits HBM, e.g. bf16 + eikonal_subsample)
+            no_remat=False,
             # NGP grid geometry (reference hardcodes, sdf_model.py:1534-1545);
             # overridable per-experiment via the yaml `rendering:` section
             num_levels=16,

@@ -109,6 +109,16 @@ class RendererConfig:
     #   reverse-over-forward.  Same values; measured trade-off in
     #   docs/PERFORMANCE.md.
     eikonal_mode: str = "vjp"
+    # Eikonal point budget.  0 = reference semantics: the pullback runs
+    # over ALL B*res^2*S rendered points (training_utils.py:410-424), so
+    # the G step's reverse-over-reverse covers the full field graph — the
+    # measured stage-A bottleneck (docs/PERFORMANCE.md).  M > 0 instead
+    # penalizes ||grad sdf|| - 1 at M FRESH frustum points per batch
+    # element (random pixel ray x random depth, the VolSDF/IGR practice):
+    # the main render stays a plain forward and the second-order graph
+    # shrinks from B*98k points to B*M.  The eikonal loss is an
+    # expectation over the same point distribution either way.
+    eikonal_subsample: int = 0
 
     @property
     def feature_out_size(self) -> int:
@@ -151,7 +161,8 @@ class RenderOutput(NamedTuple):
     sdf: Optional[jnp.ndarray]  # [B, H, W, S, 1] raw SDF samples
     mask: Optional[jnp.ndarray]  # [B, H, W, 1] background probability
     xyz: Optional[jnp.ndarray]  # [B, H, W, 3] expected surface points
-    eikonal_term: Optional[jnp.ndarray]  # [B, H, W, S, 3] d sdf / d pts
+    eikonal_term: Optional[jnp.ndarray]  # d sdf / d pts: [B, H, W, S, 3]
+    # ([B, M, 3] under eikonal_subsample — consumers only reduce over it)
     weights: Optional[jnp.ndarray] = None  # [B, H, W, S] compositing weights
     s_vals: Optional[jnp.ndarray] = None  # [B, H, W, S] samples in [0, 1]
 
@@ -339,6 +350,64 @@ def _integrate(
     return rgb_map, feature_map, sdf_out, mask, xyz, weights_out
 
 
+def _subsampled_eikonal(
+    params: Params,
+    cfg: RendererConfig,
+    focal: jnp.ndarray,
+    c2w: jnp.ndarray,
+    near_b: jnp.ndarray,
+    far_b: jnp.ndarray,
+    style: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """d sdf / d pts at M fresh frustum points per batch element.
+
+    Points are drawn as (random continuous pixel) x (random depth in
+    [near, far]) through the live camera — the same distribution the
+    rendered samples cover, without tying the second-order pass to the
+    B*res^2*S render graph.  View dirs are zeros: the SDF head never
+    consumes them (``SirenGenerator``: sigma_linear taps the pts chain,
+    ``sdf_model.py:122-126``), and the rgb/feature outputs are discarded.
+    The gradient is taken wrt WORLD points with z-normalization applied
+    inside, matching the reference's ``pts.requires_grad`` placement
+    (``sdf_model.py:345-349``).
+    """
+    m = cfg.eikonal_subsample
+    batch = c2w.shape[0]
+    res = cfg.out_im_res
+    kuv, kt = jax.random.split(key)
+    uv = jax.random.uniform(kuv, (batch, m, 2)) * res  # continuous pixels
+    focal2 = focal.reshape(batch, 1)
+    dirs = jnp.stack(
+        [
+            (uv[..., 0] - res * 0.5) / focal2,
+            -(uv[..., 1] - res * 0.5) / focal2,
+            -jnp.ones((batch, m)),
+        ],
+        axis=-1,
+    )  # [B, M, 3] camera-frame ray dirs
+    rays_d = jnp.einsum("bmi,bji->bmj", dirs, c2w[:, :3, :3])
+    origins = c2w[:, None, :3, -1]
+    t = near_b.reshape(batch, 1) + (far_b - near_b).reshape(batch, 1) * (
+        jax.random.uniform(kt, (batch, m))
+    )
+    pts_e = origins + rays_d * t[..., None]  # [B, M, 3] world points
+
+    scale = (2.0 / (far_b - near_b)).reshape(batch, 1, 1)
+    views0 = jnp.zeros_like(pts_e)
+
+    def sdf_at(p):
+        normalized = p * scale if cfg.z_normalize else p
+        # _apply_network wants [B, H, W, S, 3]; fold M into the sample dim
+        _, sdf, _ = _apply_network(
+            params, cfg, normalized[:, None, None, :, :], views0[:, None, None, :, :], style
+        )
+        return sdf
+
+    sdf_p, vjp_fn = jax.vjp(sdf_at, pts_e)
+    return vjp_fn(jnp.ones_like(sdf_p))[0]  # [B, M, 3]
+
+
 def render(
     params: Params,
     cfg: RendererConfig,
@@ -365,9 +434,9 @@ def render(
 
     near_b = near.reshape(batch, 1, 1, 1)
     far_b = far.reshape(batch, 1, 1, 1)
-    zkey = nkey = None
+    zkey = nkey = ekey = None
     if key is not None:
-        zkey, nkey = jax.random.split(key)
+        zkey, nkey, ekey = jax.random.split(key, 3)
     z_vals = _sample_z_vals(cfg, near_b, far_b, batch, zkey)
     pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., None]
     if cfg.view_independent:
@@ -378,7 +447,14 @@ def render(
         normalized = p * 2.0 / (far_b - near_b)[..., None] if cfg.z_normalize else p
         return _apply_network(params, cfg, normalized, views, style)
 
-    if return_eikonal and cfg.eikonal_mode == "jvp":
+    if return_eikonal and cfg.eikonal_subsample > 0 and ekey is not None:
+        # Subsampled eikonal: plain forward for rendering, second-order
+        # graph only over M fresh frustum points (see the config comment).
+        parts = field(pts)
+        eikonal_term = _subsampled_eikonal(
+            params, cfg, focal, c2w, near_b, far_b, style, ekey
+        )
+    elif return_eikonal and cfg.eikonal_mode == "jvp":
         # forward-mode: the field is pointwise in pts, so three unit
         # tangents recover the full (B,H,W,S,3) gradient exactly; no
         # activation chain is kept alive for a pullback.  linearize runs

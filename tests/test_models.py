@@ -537,3 +537,56 @@ def test_eikonal_jvp_matches_vjp():
     for a, b in zip(jax.tree_util.tree_leaves(g_v), jax.tree_util.tree_leaves(g_j)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_eikonal_subsample():
+    """M fresh frustum points: correct shape, differentiable twice, and an
+    unbiased estimate of the full-set eikonal loss (same point
+    distribution — stratified depth x pixel rays vs uniform depth x
+    continuous-pixel rays over the same frustum)."""
+    from dataclasses import replace as _replace
+
+    cfg = RendererConfig(
+        type="sdf", out_im_res=8, n_samples=6, style_dim=16, width=16, depth=2,
+        perturb=0.0,
+    )
+    p = init_renderer(KEY, cfg)
+    cams = generate_camera_params(cfg.out_im_res, jax.random.PRNGKey(1), batch=2)
+    style = jax.random.normal(KEY, (2, cfg.style_dim))
+
+    cfg_s = _replace(cfg, eikonal_subsample=32)
+    out = render(p, cfg_s, cams.focal, cams.extrinsics, cams.near, cams.far,
+                 style, key=jax.random.PRNGKey(5), return_eikonal=True)
+    assert out.eikonal_term.shape == (2, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out.eikonal_term)))
+    # the render outputs themselves are unchanged by the knob
+    out_full = render(p, cfg, cams.focal, cams.extrinsics, cams.near, cams.far,
+                      style, key=jax.random.PRNGKey(5), return_eikonal=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(out_full.rgb),
+                               rtol=1e-5, atol=1e-6)
+
+    # double-backprop works: grad of the eikonal penalty wrt params
+    def loss(params):
+        o = render(params, cfg_s, cams.focal, cams.extrinsics, cams.near,
+                   cams.far, style, key=jax.random.PRNGKey(5),
+                   return_eikonal=True)
+        return jnp.mean((jnp.linalg.norm(o.eikonal_term, axis=-1) - 1.0) ** 2)
+
+    g = jax.grad(loss)(p)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g))
+
+    # statistical agreement with the full-set estimate at large M
+    def eik_mean(o):
+        return float(jnp.mean((jnp.linalg.norm(o.eikonal_term, axis=-1) - 1.0) ** 2))
+
+    cfg_big = _replace(cfg, eikonal_subsample=4096)
+    out_big = render(p, cfg_big, cams.focal, cams.extrinsics, cams.near,
+                     cams.far, style, key=jax.random.PRNGKey(9),
+                     return_eikonal=True)
+    full, sub = eik_mean(out_full), eik_mean(out_big)
+    assert abs(full - sub) / max(full, 1e-6) < 0.15, (full, sub)
+
+    # without a key (test mode) the knob falls back to the full pullback
+    out_nokey = render(p, cfg_s, cams.focal, cams.extrinsics, cams.near,
+                       cams.far, style, key=None, return_eikonal=True)
+    assert out_nokey.eikonal_term.shape == (2, 8, 8, 6, 3)
