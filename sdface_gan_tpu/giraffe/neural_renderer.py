@@ -70,15 +70,18 @@ def _upsample_nn(x: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample_bilinear_blur(x: jnp.ndarray) -> jnp.ndarray:
     """bilinear x2 (align_corners=False) + 3x3 [1,2,1] blur (reference
-    kornia ``Blur`` in ``im2scene/layers.py:89-103``)."""
+    kornia ``Blur`` in ``im2scene/layers.py:89-103``; kornia ``filter2D``
+    pads with its default REFLECT border — golden-pinned by
+    ``tests/test_giraffe_golden.py::test_neural_renderer_golden``)."""
     b, h, w, c = x.shape
     up = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    up = jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     k1 = jnp.array([1.0, 2.0, 1.0])
     k = k1[:, None] * k1[None, :]
     k = k / jnp.sum(k)
     w_k = jnp.broadcast_to(k[:, :, None, None], (3, 3, 1, c)).astype(x.dtype)
     return lax.conv_general_dilated(
-        up, w_k, (1, 1), ((1, 1), (1, 1)),
+        up, w_k, (1, 1), ((0, 0), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
 
