@@ -293,6 +293,113 @@ def test_full_generator_golden():
     )
 
 
+def test_fc_renderer_chain_golden():
+    """The --fc ablation path (reference ``FCGenerator``,
+    ``sdf_model.py:1599-1670``): NeRF positional encoding, additive style
+    injection, ReLU chain, no activation on the views layer — through the
+    full renderer chain."""
+    RNG = np.random.default_rng(21)
+    depth = 3
+    state = {}
+    for i in range(3):
+        l = {"weight": RNG.standard_normal((STYLE, STYLE)).astype(np.float32) * 0.02,
+             "bias": RNG.standard_normal((STYLE,)).astype(np.float32) * 0.01}
+        state[f"style.{i}.weight"] = l["weight"]
+        state[f"style.{i}.bias"] = l["bias"]
+    state["renderer.sigmoid_beta"] = np.array([0.1], np.float32)
+    net = "renderer.network"
+
+    def _add_lin(name, out_d, in_d, scale=0.1):
+        state[f"{name}.weight"] = RNG.standard_normal((out_d, in_d)).astype(np.float32) * scale
+        state[f"{name}.bias"] = RNG.standard_normal((out_d,)).astype(np.float32) * 0.05
+
+    _add_lin(f"{net}.x_in", WIDTH, 60)
+    _add_lin(f"{net}.style_in", WIDTH, STYLE)
+    for i in range(depth - 1):
+        _add_lin(f"{net}.pts_linears.{i}", WIDTH, WIDTH)
+    _add_lin(f"{net}.views_linears", WIDTH, 24 + WIDTH)
+    _add_lin(f"{net}.rgb_linear", 3, WIDTH)
+    _add_lin(f"{net}.sigma_linear", 1, WIDTH)
+
+    params = import_generator_state(
+        state, renderer_type="fc", full_pipeline=False, depth=depth
+    )
+    cfg = GeneratorConfig(
+        size=RES, style_dim=STYLE, full_pipeline=False,
+        renderer=RendererConfig(
+            type="fc", out_im_res=RES, n_samples=SAMPLES, style_dim=STYLE,
+            width=WIDTH, depth=depth,
+        ),
+    )
+    cams = generate_camera_params(RES, jax.random.PRNGKey(7), batch=2)
+    z = np.random.default_rng(5).standard_normal((2, STYLE)).astype(np.float32)
+    out = generator_forward(
+        params, cfg, [jnp.asarray(z)], cams.extrinsics, cams.focal,
+        cams.near, cams.far, key=None, return_sdf=True,
+    )
+
+    def _pe(p, L):
+        p = p / 2.0
+        return torch.cat(
+            [torch.cat([torch.sin((2**i) * math.pi * p),
+                        torch.cos((2**i) * math.pi * p)], -1) for i in range(L)],
+            -1,
+        )
+
+    def _fc(x, style):
+        pts, views = torch.split(x, [3, 3], dim=-1)
+        h = _lin(_pe(pts, 10), state, f"{net}.x_in")
+        s = _lin(style, state, f"{net}.style_in")
+        h = F.relu(h + s.view(2, 1, 1, 1, -1))
+        for i in range(depth - 1):
+            h = F.relu(_lin(h, state, f"{net}.pts_linears.{i}"))
+        sdf = _lin(h, state, f"{net}.sigma_linear")
+        feat = _lin(torch.cat([h, _pe(views, 4)], -1), state, f"{net}.views_linears")
+        rgb = _lin(feat, state, f"{net}.rgb_linear")
+        return torch.cat([rgb, sdf, feat], -1)
+
+    style = _mapping(torch.from_numpy(z), state)
+    # re-run the renderer oracle with the FC field
+    res, S = RES, SAMPLES
+    c2w = torch.from_numpy(np.asarray(cams.extrinsics, np.float32))
+    focal = torch.from_numpy(np.asarray(cams.focal, np.float32))
+    near = torch.from_numpy(np.asarray(cams.near, np.float32))
+    far = torch.from_numpy(np.asarray(cams.far, np.float32))
+    lin = torch.linspace(0.5, res - 0.5, res)
+    ii = lin.view(1, 1, res).expand(1, res, res)
+    jj = lin.view(1, res, 1).expand(1, res, res)
+    dirs = torch.stack(
+        [(ii - res * 0.5) / focal, -(jj - res * 0.5) / focal,
+         -torch.ones(1, res, res).expand(focal.shape[0], res, res)], -1)
+    rays_d = torch.sum(dirs[..., None, :] * c2w[:, None, None, :3, :3], -1)
+    rays_o = c2w[:, None, None, :3, -1].expand(rays_d.shape)
+    viewdirs = rays_d / rays_d.norm(dim=-1, keepdim=True)
+    near_ = near.unsqueeze(-1) * torch.ones_like(rays_d[..., :1])
+    far_ = far.unsqueeze(-1) * torch.ones_like(rays_d[..., :1])
+    t_vals = torch.linspace(0.0, 1.0 - 1.0 / S, S).view(1, 1, 1, S)
+    z_vals = near_ * (1.0 - t_vals) + far_ * t_vals
+    pts = rays_o.unsqueeze(3) + rays_d.unsqueeze(3) * z_vals.unsqueeze(-1)
+    npts = pts * 2.0 / (far_ - near_).unsqueeze(3)
+    in_views = viewdirs.unsqueeze(3).expand(npts.shape)
+    raw = _fc(torch.cat([npts, in_views], -1), style)
+    rgb, sdf, _feat = torch.split(raw, [3, 1, WIDTH], dim=-1)
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    rays_d_norm = rays_d.unsqueeze(3).norm(dim=-1)
+    dists = torch.cat([dists, torch.tensor([1e10]).expand(rays_d_norm.shape)], -1) * rays_d_norm
+    beta = _t(state, "renderer.sigmoid_beta")
+    sigma = torch.sigmoid(-sdf / beta) / beta
+    sigma = 1.0 - torch.exp(-sigma * dists.unsqueeze(-1))
+    visibility = torch.cumprod(
+        torch.cat([torch.ones_like(sigma[:, :, :, 0:1, :]), 1.0 - sigma + 1e-10], 3), 3
+    )[..., :-1, :]
+    weights = sigma * visibility
+    weights[..., -1, :] = 1.0 - weights[..., :-1, :].sum(3)
+    rgb_t = -1.0 + 2.0 * torch.sum(weights * torch.sigmoid(rgb), 3)
+
+    np.testing.assert_allclose(np.asarray(out.thumb_rgb), rgb_t.numpy(), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.sdf), sdf.numpy(), rtol=1e-4, atol=2e-5)
+
+
 def test_truncation_golden():
     """Truncation interpolates toward the mean latent identically on both
     sides (reference styles_and_noise_forward, sdf_model.py:1139-1154 +
