@@ -590,3 +590,28 @@ def test_eikonal_subsample():
     out_nokey = render(p, cfg_s, cams.focal, cams.extrinsics, cams.near,
                        cams.far, style, key=None, return_eikonal=True)
     assert out_nokey.eikonal_term.shape == (2, 8, 8, 6, 3)
+
+
+def test_eikonal_subsample_ngp():
+    """The subsampled eikonal pass also differentiates through the
+    hash-grid field (second-order gather/scatter on M points only)."""
+    from dataclasses import replace as _replace
+
+    cfg = RendererConfig(
+        type="ngp", out_im_res=4, n_samples=3, style_dim=16, width=16,
+        perturb=0.0, eikonal_subsample=16,
+        ngp_num_levels=2, ngp_level_dim=2, ngp_finest_res=32,
+        ngp_log2_hashmap_size=8,
+    )
+    p = init_renderer(KEY, cfg)
+    cams = generate_camera_params(cfg.out_im_res, jax.random.PRNGKey(1), batch=2)
+    style = jax.random.normal(KEY, (2, cfg.style_dim))
+
+    def loss(params):
+        o = render(params, cfg, cams.focal, cams.extrinsics, cams.near,
+                   cams.far, style, key=jax.random.PRNGKey(5),
+                   return_eikonal=True)
+        return jnp.mean((jnp.linalg.norm(o.eikonal_term, axis=-1) - 1.0) ** 2)
+
+    g = jax.grad(loss)(p)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g))
