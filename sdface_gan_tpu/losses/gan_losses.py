@@ -77,23 +77,31 @@ def g_path_regularize(
     img_fn: Callable[[jnp.ndarray], jnp.ndarray],
     latents: jnp.ndarray,
     mean_path_length: jnp.ndarray,
-    key: jax.Array,
+    key: jax.Array = None,
     decay: float = 0.01,
+    noise: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """StyleGAN2 path-length regularizer (reference ``sdf_losses.py:53-65``).
 
     ``img_fn`` maps the [B, n_latent, D] decoder latents to images.
+    ``noise`` overrides the internally-drawn projection noise (golden
+    tests); otherwise it is drawn from ``key``.
     Returns (penalty, new_mean_path_length, path_lengths).
     """
-    def proj(lat: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
-        return jnp.sum(img_fn(lat) * noise)
+    def proj(lat: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(img_fn(lat) * n)
 
-    # shape only — eval_shape avoids paying an extra generator forward
-    img_shape = jax.eval_shape(img_fn, latents).shape
-    h, w = img_shape[1], img_shape[2]
-    noise = jax.random.normal(key, img_shape) / math.sqrt(h * w)
+    if noise is None:
+        # shape only — eval_shape avoids paying an extra generator forward
+        img_shape = jax.eval_shape(img_fn, latents).shape
+        h, w = img_shape[1], img_shape[2]
+        noise = jax.random.normal(key, img_shape) / math.sqrt(h * w)
     grad = jax.grad(proj)(latents, noise)
     path_lengths = jnp.sqrt(jnp.mean(jnp.sum(grad**2, axis=2), axis=1))
     path_mean = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)
-    penalty = jnp.mean((path_lengths - path_mean) ** 2)
+    # the reference detaches the running mean inside the penalty
+    # (``sdf_losses.py:63`` ``path_mean.detach()``) — without the stop_
+    # gradient a -2*decay*(pl-pm)/B cross-term leaks into d penalty/d pl
+    # (caught by tests/test_grad_golden.py)
+    penalty = jnp.mean((path_lengths - jax.lax.stop_gradient(path_mean)) ** 2)
     return penalty, jax.lax.stop_gradient(path_mean), path_lengths
