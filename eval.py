@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--inception_weights", type=str, default=None,
                    help="pytorch-fid inception checkpoint for exact parity")
     p.add_argument("--no_fid", action="store_true")
+    p.add_argument("--no_dump", action="store_true",
+                   help="skip the PNG dump and fuse generation + inception "
+                        "into one on-device program — only 2048-d "
+                        "activations cross the host link (fast FID-only "
+                        "scoring; the reference protocol dumps images for "
+                        "the external torch-fidelity CLI)")
     return p.parse_args(argv)
 
 
@@ -135,11 +141,47 @@ def main(argv=None) -> None:
     )
 
     inc = load_inception(args.inception_weights)
-    # streaming: each generated batch feeds inception immediately; host
-    # memory stays flat in image count (only the 2048-d activations persist)
-    fake_acts = compute_activations(inc, generated_batches(), batch_size=args.batch)
-    print(f"generated {stats['n']} images in {stats['dt']:.1f}s "
-          f"({stats['dt'] / max(stats['n'], 1):.3f} s/image, incl. streaming FID)")
+    if args.no_dump:
+        # Fused scoring: one XLA program generates the batch AND computes
+        # its pool3 activations, so each image never leaves the device —
+        # only [batch, 2048] activations cross the (tunneled) host link
+        # instead of two full-image transfers plus a PNG encode.
+        from sdface_gan_tpu.evaluation import inception_pool3
+
+        inc_dev = replicate(inc, mesh)
+
+        def _sample_acts(params, incp, z, extr, focal, near, far, key):
+            out = generator_forward(params, gcfg, [z], extr, focal, near,
+                                    far, key=key)
+            return inception_pool3(incp, out.rgb)
+
+        sample_acts = data_parallel_jit(_sample_acts, mesh,
+                                        batch_argnums=(2, 3, 4, 5, 6))
+        key = jax.random.PRNGKey(0)
+        t0, n_done, acts = time.time(), 0, []
+        while n_done < args.n_images:
+            b = min(args.batch, args.n_images - n_done)
+            key, kz, kc, kr = jax.random.split(key, 4)
+            z = jax.random.normal(kz, (args.batch, gcfg.style_dim))
+            cams = generate_camera_params(res, kc, batch=args.batch)
+            acts.append(np.asarray(
+                sample_acts(g_ema, inc_dev, z, cams.extrinsics, cams.focal,
+                            cams.near, cams.far, kr)
+            )[:b])
+            n_done += b
+            stats["n"], stats["dt"] = n_done, time.time() - t0
+        fake_acts = np.concatenate(acts, axis=0)
+        print(f"scored {stats['n']} images in {stats['dt']:.1f}s "
+              f"({stats['dt'] / max(stats['n'], 1):.3f} s/image, "
+              f"on-device fused generation + inception, no image dump)")
+    else:
+        # streaming: each generated batch feeds inception immediately; host
+        # memory stays flat in image count (only 2048-d activations persist)
+        fake_acts = compute_activations(inc, generated_batches(),
+                                        batch_size=args.batch)
+        print(f"generated {stats['n']} images in {stats['dt']:.1f}s "
+              f"({stats['dt'] / max(stats['n'], 1):.3f} s/image, "
+              f"incl. streaming FID)")
     mu_f, s_f = calculate_activation_statistics(fake_acts)
 
     fid_file = args.fid_file or cfg["data"].get("fid_file")
@@ -177,6 +219,9 @@ def main(argv=None) -> None:
         fid = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
         kid_mean, kid_std = calculate_kid(fake_acts, real_acts)
         print(f"FID: {fid:.4f}  KID: {kid_mean:.6f} +- {kid_std:.6f}")
+    elif args.no_dump:
+        print("no real stats available (pass --fid_file or --real_dir); "
+              "nothing written (--no_dump skips the PNG dump)")
     else:
         print("no real stats available (pass --fid_file or --real_dir); "
               "images dumped for external scoring")

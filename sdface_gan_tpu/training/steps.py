@@ -93,13 +93,16 @@ class TrainHParams:
     sparsity_lambda: float = 0.0  # occupancy sparsity prior, not in reference
     distortion_lambda: float = 0.0  # mip-NeRF 360 distortion, not in reference
     smooth_lambda: float = 1000.0
-    # Mixed-precision stage-A G step: cast the f32 master params to this
-    # dtype INSIDE the loss closure (grads come back f32 through the cast's
-    # VJP, so optimizer/EMA state stays full precision).  "bfloat16" halves
-    # the [B*res^2*S, width] activation traffic of the eikonal
-    # reverse-over-reverse — the binding cost of the 355 ms G step
-    # (docs/PERFORMANCE.md).  The renderer pins compositing to f32
-    # internally regardless.
+    # Mixed-precision G compute: cast the f32 master params to this dtype
+    # wherever a G forward runs — inside the stage-A/B G-step loss closures
+    # (grads come back f32 through the cast's VJP, so optimizer/EMA state
+    # stays full precision) AND for the detached fake generation inside
+    # both D steps.  "bfloat16" halves the [B*res^2*S, width] activation
+    # traffic of the eikonal reverse-over-reverse — the binding cost of
+    # the 355 ms stage-A G step — and the field eval that dominates the D
+    # steps (docs/PERFORMANCE.md).  The renderer pins compositing to f32
+    # internally regardless; the stage-B path-reg step stays f32 (see
+    # make_stage_b_g_step).
     g_param_dtype: str = "float32"
     mixing: float = 0.9
     d_reg_every: int = 16
@@ -114,6 +117,19 @@ class TrainHParams:
 # jnp.array would initialize the JAX backend at import time, defeating the
 # post-import platform override this machine requires (CLAUDE.md).
 SMOOTH_BBOX = np.array([[-1.0, 7.0], [-1.3, 3.7], [-1.7, 1.4]], dtype=np.float32)
+
+
+def _cast_params(params: Params, cast_dt) -> Params:
+    """Cast f32 leaves to ``cast_dt`` (identity when ``cast_dt`` is None).
+
+    Used for the mixed-precision G forward (``TrainHParams.g_param_dtype``):
+    inside a differentiated closure the cast's VJP returns the gradients to
+    f32, so optimizer/EMA state always stays full precision."""
+    if cast_dt is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(cast_dt) if x.dtype == jnp.float32 else x, params
+    )
 
 
 def _sample_cameras(key: jax.Array, res: int, batch: int, cam: CameraHParams) -> CameraParams:
@@ -193,6 +209,10 @@ def make_stage_a_d_step(
     # ``viewpoint_condition``, training_utils.py:341): the D returns None
     # for view predictions and the loss term must be skipped entirely.
     use_view = hp.view_lambda > 0 and dcfg.viewpoint_head
+    # The fake forward is inference (detached below), so it runs at the
+    # same precision the G step trains at: in the bf16 config this halves
+    # the D step's dominant cost, the field eval (docs/PERFORMANCE.md).
+    cast_dt = None if hp.g_param_dtype == "float32" else jnp.dtype(hp.g_param_dtype)
 
     def step(
         g_params: Params,
@@ -205,9 +225,10 @@ def make_stage_a_d_step(
         z = jax.random.normal(kz, (hp.batch, hp.style_dim))
         cams = _sample_cameras(kc, res, hp.batch, hp.camera)
         out = generator_forward(
-            g_params, gcfg, [z], cams.extrinsics, cams.focal, cams.near, cams.far, key=kr
+            _cast_params(g_params, cast_dt),
+            gcfg, [z], cams.extrinsics, cams.focal, cams.near, cams.far, key=kr,
         )
-        fake = jax.lax.stop_gradient(out.thumb_rgb)
+        fake = jax.lax.stop_gradient(out.thumb_rgb).astype(jnp.float32)
 
         def loss_fn(dp):
             fake_pred, fake_view = apply_volume_render_discriminator(dp, dcfg, fake)
@@ -271,14 +292,7 @@ def make_stage_a_g_step(
         cams = _sample_cameras(kc, res, hp.batch, hp.camera)
 
         def loss_fn(gp):
-            gp_c = (
-                gp
-                if cast_dt is None
-                else jax.tree_util.tree_map(
-                    lambda x: x.astype(cast_dt) if x.dtype == jnp.float32 else x,
-                    gp,
-                )
-            )
+            gp_c = _cast_params(gp, cast_dt)
             out = generator_forward(
                 gp_c,
                 gcfg,
@@ -373,6 +387,9 @@ def make_stage_b_d_step(
 
     res = gcfg.renderer.out_im_res
     n_latent = gcfg.decoder.n_latent
+    # Fake generation is inference (detached below) — run it at the
+    # G-step precision (see make_stage_a_d_step).
+    cast_dt = None if hp.g_param_dtype == "float32" else jnp.dtype(hp.g_param_dtype)
 
     def step(
         g_params: Params,
@@ -385,7 +402,7 @@ def make_stage_b_d_step(
         z1, z2, idx = _mixing_latents(kz, hp.batch, hp.style_dim, hp.mixing, n_latent)
         cams = _sample_cameras(kc, res, hp.batch, hp.camera)
         out = generator_forward(
-            g_params,
+            _cast_params(g_params, cast_dt),
             gcfg,
             [z1, z2],
             cams.extrinsics,
@@ -395,7 +412,7 @@ def make_stage_b_d_step(
             key=kr,
             inject_index=idx,
         )
-        fake = jax.lax.stop_gradient(out.rgb)
+        fake = jax.lax.stop_gradient(out.rgb).astype(jnp.float32)
 
         def loss_fn(dp):
             fake_pred = apply_style_discriminator(dp, dcfg, fake)
@@ -446,6 +463,14 @@ def make_stage_b_g_step(
     res = gcfg.renderer.out_im_res
     n_latent = gcfg.decoder.n_latent
     up_factor = gcfg.size // res
+    # Mixed precision mirrors stage A: cast INSIDE the loss closure so
+    # decoder grads come back f32 through the cast's VJP.  The renderer
+    # half of the tree is frozen here (decoder-only optimizer), so its
+    # cast is pure inference.  The path-reg step stays f32: its
+    # double-backprop is the training signal itself and runs on a shrunk
+    # batch every g_reg_every iterations (cheap), so there is nothing to
+    # win and precision to lose.
+    cast_dt = None if hp.g_param_dtype == "float32" else jnp.dtype(hp.g_param_dtype)
 
     def step(
         g_params: Params,
@@ -459,7 +484,7 @@ def make_stage_b_g_step(
 
         def loss_fn(gp):
             out = generator_forward(
-                gp,
+                _cast_params(gp, cast_dt),
                 gcfg,
                 [z1, z2],
                 cams.extrinsics,

@@ -45,6 +45,21 @@ def test_compute_activations_batching(inc_params):
     assert acts.shape == (9, POOL3_DIM)
 
 
+def test_fused_on_device_scoring_matches_streaming(inc_params):
+    """eval.py --no_dump fuses generation + inception in one program; its
+    activations must equal the streaming path's (generate, transfer,
+    re-feed) for identical images — the fusion is a transfer optimization,
+    not a numerical change."""
+    imgs = np.random.default_rng(0).uniform(-1, 1, (4, 32, 32, 3)).astype(
+        np.float32
+    )
+    streamed = compute_activations(inc_params, [imgs], batch_size=4)
+    fused = np.asarray(
+        jax.jit(lambda p, x: inception_pool3(p, x))(inc_params, imgs)
+    )
+    np.testing.assert_allclose(fused, streamed, rtol=1e-4, atol=1e-4)
+
+
 def test_frechet_distance_identity_and_shift():
     rng = np.random.default_rng(0)
     a = rng.standard_normal((500, 16))

@@ -153,6 +153,46 @@ def test_stage_a_g_step_bf16_mixed_precision():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_bf16_covers_d_steps_and_stage_b_g_step():
+    """g_param_dtype='bfloat16' must also reach (a) the detached fake
+    forward inside both D steps and (b) the stage-B G-step closure —
+    the D params and all master weights stay f32, and metrics stay close
+    to the f32 step on identical seeds (the casts are precision-only)."""
+    kg, kd, kd2 = jax.random.split(KEY, 3)
+    ga = init_generator(kg, A_GCFG)
+    da = init_volume_render_discriminator(kd, A_DCFG)
+    gb = init_generator(kg, B_GCFG)
+    db = init_style_discriminator(kd2, B_DCFG)
+    g_tx_a, d_tx_a = stage_a_optimizers()
+    g_tx_b, d_tx_b = stage_b_optimizers()
+    g_tx_b = decoder_only(g_tx_b, gb)
+    real_a = jax.random.uniform(KEY, (4, 8, 8, 3)) * 2 - 1
+    real_b = jax.random.uniform(KEY, (4, 32, 32, 3)) * 2 - 1
+
+    out = {}
+    for dt in ("float32", "bfloat16"):
+        hp = TrainHParams(batch=4, style_dim=16, g_param_dtype=dt)
+        da_step = jax.jit(make_stage_a_d_step(A_GCFG, A_DCFG, hp, d_tx_a))
+        db_step = jax.jit(make_stage_b_d_step(B_GCFG, B_DCFG, hp, d_tx_b, True))
+        gb_step = jax.jit(make_stage_b_g_step(B_GCFG, B_DCFG, hp, g_tx_b))
+        da1, _, dam = da_step(ga, da, d_tx_a.init(da), jax.random.PRNGKey(5), real_a)
+        db1, _, dbm = db_step(gb, db, d_tx_b.init(db), jax.random.PRNGKey(6), real_b)
+        gb1, _, gbm = gb_step(gb, db, g_tx_b.init(gb), jax.random.PRNGKey(7))
+        for tree in (da1, db1, gb1):
+            assert _finite(tree)
+            assert all(
+                x.dtype == jnp.float32
+                for x in jax.tree_util.tree_leaves(tree)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+            )
+        out[dt] = (dam, dbm, gbm)
+    for m32, m16 in zip(out["float32"], out["bfloat16"]):
+        for name in ("d", "g"):
+            if name in m32:
+                a, b = float(m32[name]), float(m16[name])
+                assert abs(a - b) < 0.1 * (1.0 + abs(a)), (name, a, b)
+
+
 def test_occupancy_sparsity_loss_prices_fog_above_geometry():
     """The prior must make the measured fog regime (sdf ~ -0.07 everywhere,
     docs/TRAINING_RUN.md) strictly more expensive than a surface-bearing
