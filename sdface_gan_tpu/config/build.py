@@ -90,6 +90,7 @@ def train_hparams(opt: ConfigNode) -> TrainHParams:
         smooth_lambda=t.get("smooth_lambda", 1000.0),
         g_param_dtype=t.get("g_param_dtype", "float32"),
         mixing=t.mixing,
+        a_d_reg_every=t.get("a_d_reg_every", 1),
         d_reg_every=t.d_reg_every,
         g_reg_every=t.g_reg_every,
         path_regularize=t.path_regularize,

@@ -34,6 +34,10 @@ def sdf_defaults() -> ConfigNode:
             val_n_sample=8,
             d_reg_every=16,
             g_reg_every=4,
+            # stage-A lazy-R1 interval (1 = reference parity: R1 every D
+            # step, training_utils.py:345-397; >1 = StyleGAN2 lazy-reg
+            # convention applied to stage A — a TPU-config knob)
+            a_d_reg_every=1,
             local_rank=0,
             mixing=0.9,
             lr=0.002,

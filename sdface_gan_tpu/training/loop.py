@@ -195,7 +195,7 @@ def train_volume_renderer(
     d = init_volume_render_discriminator(kd, dcfg)
     g_ema = jax.tree_util.tree_map(jnp.copy, g)
 
-    g_tx, d_tx = stage_a_optimizers()
+    g_tx, d_tx = stage_a_optimizers(hp.a_d_reg_every)
     g_state = g_tx.init(g)
     d_state = d_tx.init(d)
 
@@ -243,6 +243,17 @@ def train_volume_renderer(
         make_stage_a_d_step(gcfg, dcfg, hp, d_tx), mesh,
         batch_argnums=(4,), donate_argnums=(1, 2),
     )
+    # Lazy stage-A R1 (TPU knob; reference parity is R1 every step): a
+    # second compiled variant without the R1 double-backward, alternated by
+    # interval exactly like the stage-B pair below.
+    d_step_plain = (
+        data_parallel_jit(
+            make_stage_a_d_step(gcfg, dcfg, hp, d_tx, with_r1=False), mesh,
+            batch_argnums=(4,), donate_argnums=(1, 2),
+        )
+        if hp.a_d_reg_every > 1
+        else d_step
+    )
     g_step = data_parallel_jit(
         make_stage_a_g_step(gcfg, dcfg, hp, g_tx), mesh, donate_argnums=(0, 2, 3)
     )
@@ -256,7 +267,8 @@ def train_volume_renderer(
     for i in range(start_iter, iters):
         _, thumbs = next(data)
         k1, k2 = jax.random.split(jax.random.fold_in(adv_key, i))
-        d, d_state, dm = d_step(g, d, d_state, k1, shard_batch(np.asarray(thumbs), mesh))
+        d_step_fn = d_step if i % hp.a_d_reg_every == 0 else d_step_plain
+        d, d_state, dm = d_step_fn(g, d, d_state, k1, shard_batch(np.asarray(thumbs), mesh))
         g, g_state, g_ema, gm = g_step(g, d, g_state, g_ema, k2)
         if i % log_every == 0:
             # track the learned sigma sharpness beta = sigmoid(-sdf/b)/b —

@@ -19,11 +19,20 @@ import jax
 import optax
 
 
-def stage_a_optimizers() -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+def stage_a_optimizers(
+    d_reg_every: int = 1,
+) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
     """(G, D) optimizers for the volume-renderer stage
-    (reference ``config.py:196-200``)."""
+    (reference ``config.py:196-200``).
+
+    ``d_reg_every`` is the stage-A lazy-R1 interval
+    (``TrainHParams.a_d_reg_every``); at the default 1 (reference parity,
+    R1 every step) the D optimizer is plain Adam, at >1 its lr/betas get
+    the same ``reg_every/(reg_every+1)`` ratio adjustment StyleGAN2 applies
+    under lazy regularization (stage B below)."""
+    d_ratio = _reg_ratio(d_reg_every) if d_reg_every > 1 else 1.0
     g = optax.adam(2e-5, b1=0.0, b2=0.9)
-    d = optax.adam(2e-4, b1=0.0, b2=0.9)
+    d = optax.adam(2e-4 * d_ratio, b1=0.0**d_ratio, b2=0.9**d_ratio)
     return g, d
 
 

@@ -107,6 +107,13 @@ class TrainHParams:
     mixing: float = 0.9
     d_reg_every: int = 16
     g_reg_every: int = 4
+    # Stage-A lazy R1: the reference penalizes R1 every D step in stage A
+    # (``training_utils.py:345-397``) while stage B uses StyleGAN2's lazy
+    # regularization (every ``d_reg_every``, ``config.py:202-218``).  1 keeps
+    # strict stage-A parity; >1 applies the same lazy convention to stage A
+    # (penalty scaled by the interval, optimizer lr/betas ratio-adjusted) —
+    # a TPU-config knob, measured in docs/PERFORMANCE.md.
+    a_d_reg_every: int = 1
     path_regularize: float = 2.0
     path_batch_shrink: int = 2
     camera: CameraHParams = field(default_factory=CameraHParams)
@@ -200,9 +207,16 @@ def make_stage_a_d_step(
     dcfg: VolumeRenderDiscConfig,
     hp: TrainHParams,
     d_tx: optax.GradientTransformation,
+    with_r1: bool = True,
 ):
     """Reference ``training_utils.py:345-397``: D on 64^2 thumbs with
-    logistic loss + R1 (every step, weight r1/2) + viewpoint smooth-L1."""
+    logistic loss + R1 (every step, weight r1/2) + viewpoint smooth-L1.
+
+    ``with_r1=False`` builds the plain variant for lazy stage-A R1
+    (``TrainHParams.a_d_reg_every`` > 1): the regularized variant then
+    scales the penalty by the interval, the StyleGAN2 lazy-reg convention
+    the stage-B D already follows (reference ``sdf_model.py`` /
+    ``config.py:202-218``)."""
 
     res = gcfg.renderer.out_im_res
     # The viewpoint head is absent when view_lambda == 0 (reference
@@ -237,21 +251,28 @@ def make_stage_a_d_step(
                 if use_view
                 else jnp.zeros(())
             )
-            # one D forward on real images yields both logits and R1
-            real_pred, penalty = d_logits_and_r1(
-                lambda img: apply_volume_render_discriminator(dp, dcfg, img)[0],
-                real_thumbs,
-            )
+            if with_r1:
+                # one D forward on real images yields both logits and R1;
+                # under lazy reg the penalty amortizes over the interval
+                real_pred, penalty = d_logits_and_r1(
+                    lambda img: apply_volume_render_discriminator(dp, dcfg, img)[0],
+                    real_thumbs,
+                )
+                r1 = hp.r1 * 0.5 * penalty * max(hp.a_d_reg_every, 1)
+            else:
+                real_pred, _ = apply_volume_render_discriminator(dp, dcfg, real_thumbs)
+                r1 = jnp.zeros(())
             gan = d_logistic_loss(real_pred, fake_pred)
-            r1 = hp.r1 * 0.5 * penalty
             loss = gan + r1 + d_view
-            return loss, {
+            metrics = {
                 "d": gan,
-                "r1": r1,
                 "d_view": d_view,
                 "real_score": jnp.mean(real_pred),
                 "fake_score": jnp.mean(fake_pred),
             }
+            if with_r1:
+                metrics["r1"] = r1
+            return loss, metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
         updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)

@@ -193,6 +193,37 @@ def test_bf16_covers_d_steps_and_stage_b_g_step():
                 assert abs(a - b) < 0.1 * (1.0 + abs(a)), (name, a, b)
 
 
+def test_stage_a_lazy_r1():
+    """a_d_reg_every > 1: the plain variant (with_r1=False) must run and
+    omit the r1 metric, and the regularized variant must scale the penalty
+    by the interval (StyleGAN2 lazy-reg convention, mirroring the stage-B
+    pair) — so r1(every=k) == k * r1(every=1) on identical seeds/params."""
+    kg, kd = jax.random.split(KEY)
+    g = init_generator(kg, A_GCFG)
+    d = init_volume_render_discriminator(kd, A_DCFG)
+    real = jax.random.uniform(KEY, (4, 8, 8, 3)) * 2 - 1
+
+    r1_vals = {}
+    for every in (1, 4):
+        hp = TrainHParams(batch=4, style_dim=16, a_d_reg_every=every)
+        _, d_tx = stage_a_optimizers(every)
+        d_state = d_tx.init(d)
+        reg_step = jax.jit(make_stage_a_d_step(A_GCFG, A_DCFG, hp, d_tx))
+        d1, d_state, dm = reg_step(g, d, d_state, jax.random.PRNGKey(5), real)
+        assert "r1" in dm and _finite(d1)
+        r1_vals[every] = float(dm["r1"])
+        if every > 1:
+            plain_step = jax.jit(
+                make_stage_a_d_step(A_GCFG, A_DCFG, hp, d_tx, with_r1=False)
+            )
+            d2, _, pm = plain_step(g, d, d_tx.init(d), jax.random.PRNGKey(5), real)
+            assert "r1" not in pm and _finite(d2)
+            # the plain variant still trains the logistic + viewpoint terms
+            for name in ("d", "d_view", "real_score", "fake_score"):
+                assert name in pm and np.isfinite(float(pm[name]))
+    assert abs(r1_vals[4] - 4.0 * r1_vals[1]) < 1e-4 * (1.0 + abs(r1_vals[4]))
+
+
 def test_occupancy_sparsity_loss_prices_fog_above_geometry():
     """The prior must make the measured fog regime (sdf ~ -0.07 everywhere,
     docs/TRAINING_RUN.md) strictly more expensive than a surface-bearing
