@@ -192,6 +192,10 @@ def main(argv=None) -> None:
     elif args.real_dir:
         from PIL import Image
 
+        # accept the store dir itself or a parent holding records/ (the
+        # prepare_data default layout), mirroring train.py's resolution
+        if os.path.exists(os.path.join(args.real_dir, "records", "index.bin")):
+            args.real_dir = os.path.join(args.real_dir, "records")
         if os.path.exists(os.path.join(args.real_dir, "index.bin")):
             # a prepare_data record store (the artifact a real-image user
             # already has) scores directly — no PNG re-export needed
