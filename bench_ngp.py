@@ -136,6 +136,60 @@ def bench_stage_a_ngp(batch: int = 4) -> None:
     }))
 
 
+def bench_ngp_serving(batch: int = 8) -> None:
+    """256² full-pipeline synthesis throughput on the NGP renderer, for the
+    reference hash grid vs the TPU-tuned one
+    (``configs/256res/ffhq_256_sdf_ngp_tpu.yaml``) — the serving-side
+    counterpart of the training sweep in docs/PERFORMANCE.md.  Same
+    serving precision as ``bench.py``: bf16 weights, f32 compositing.
+
+    Batch 8, not bench.py's 32: the gathered corner features are
+    ``[8·N_pts, level_dim]`` and level_dim < 128 lanes pads 16x (dim 8),
+    so the tuned grid's gather intermediate alone is 12 GB at batch 32
+    (measured OOM, 18.19 G > 15.75 G HBM) — the hash path is
+    latency-bound anyway, so throughput saturates well before 32."""
+    from sdface_gan_tpu.geometry import generate_camera_params
+    from sdface_gan_tpu.models.generator import (
+        GeneratorConfig,
+        generator_forward,
+        init_generator,
+    )
+    from sdface_gan_tpu.models.renderer import RendererConfig
+
+    grids = {
+        "reference 16xdim2 T=2^19 finest4096": dict(
+            ngp_num_levels=16, ngp_level_dim=2, ngp_finest_res=4096,
+            ngp_log2_hashmap_size=19),
+        "tuned 4xdim8 T=2^15 finest256": dict(
+            ngp_num_levels=4, ngp_level_dim=8, ngp_finest_res=256,
+            ngp_log2_hashmap_size=15),
+    }
+    for name, grid in grids.items():
+        gcfg = GeneratorConfig(
+            size=256, style_dim=256, full_pipeline=True,
+            renderer=RendererConfig(type="ngp", out_im_res=64, n_samples=24,
+                                    style_dim=256, **grid),
+        )
+        kp, kz, kc, kr = jax.random.split(jax.random.PRNGKey(0), 4)
+        params = init_generator(kp, gcfg)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
+        z = jax.random.normal(kz, (batch, gcfg.style_dim))
+        cams = generate_camera_params(gcfg.renderer.out_im_res, kc, batch=batch)
+
+        fwd = jax.jit(lambda p, z: generator_forward(
+            p, gcfg, [z], cams.extrinsics, cams.focal, cams.near, cams.far,
+            key=kr).rgb)
+        dt = timeit(fwd, params, z)
+        print(json.dumps({
+            "metric": f"ngp serving 256^2 full pipeline, {name}",
+            "batch": batch, "value": round(batch / dt, 1), "unit": "images/sec",
+        }))
+
+
 def main() -> None:
     from sdface_gan_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -143,6 +197,7 @@ def main() -> None:
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}))
     bench_hash_fwd_bwd()
     bench_stage_a_ngp()
+    bench_ngp_serving()
 
 
 if __name__ == "__main__":
