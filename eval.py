@@ -118,8 +118,9 @@ def main(argv=None) -> None:
                 sample(g_ema, z, cams.extrinsics, cams.focal, cams.near,
                        cams.far, kr)
             )[:b]
-            for i in range(b):
-                save_image(imgs[i], os.path.join(eval_dir, f"{n_done + i:07d}.png"))
+            if not args.no_dump:  # honor --no_dump on the --no_fid path too
+                for i in range(b):
+                    save_image(imgs[i], os.path.join(eval_dir, f"{n_done + i:07d}.png"))
             n_done += b
             stats["n"], stats["dt"] = n_done, time.time() - t0
             yield imgs

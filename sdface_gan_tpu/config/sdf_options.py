@@ -155,14 +155,36 @@ def parse_sdf_options(argv: Optional[Sequence[str]] = None) -> ConfigNode:
     return out
 
 
+# rendering: keys consumed by the GIRAFFE family / render.py rather than
+# parse_sdf_options; every config inherits them from configs/default.yaml,
+# so they are skipped (not errors) when flattening for the SDF stages.
+_NON_SDF_RENDERING_KEYS = frozenset({"render_program", "render_dir"})
+
+
 def rendering_overrides(cfg) -> list:
     """Flatten the yaml ``rendering:`` and ``train_args:`` sections into
     ``extra_argv`` flags for :func:`get_vol_render_opt` (e.g. the TPU-tuned
     NGP grid in ``configs/256res/ffhq_256_sdf_ngp_tpu.yaml``, or a per-
-    experiment ``min_surf_lambda`` — any flag ``parse_sdf_options`` knows)."""
+    experiment ``min_surf_lambda`` — any flag ``parse_sdf_options`` knows).
+
+    Unknown keys raise: ``parse_sdf_options`` uses ``parse_known_args``,
+    so a typo'd geometry-critical knob (``sparsity_lamda``) would otherwise
+    be dropped silently and the run would collapse into the billboard/fog
+    regimes documented in docs/TRAINING_RUN.md with nothing in the logs."""
+    known = set()
+    for _group, node in sdf_defaults().items():
+        known |= set(node.keys())
     extra = []
     for section in ("rendering", "train_args"):
         for k, v in (cfg.get(section) or {}).items():
+            if k in _NON_SDF_RENDERING_KEYS:
+                continue
+            if k not in known:
+                raise ValueError(
+                    f"unknown {section}: key {k!r} in the yaml config — "
+                    "not a parse_sdf_options flag (typo?); known keys are "
+                    "the sdf_defaults() option names"
+                )
             if isinstance(v, bool):  # store_true flags: present iff truthy
                 if v:
                     extra += [f"--{k}"]

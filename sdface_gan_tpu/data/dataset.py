@@ -16,13 +16,38 @@ Differences from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
+import glob as _glob
 import io
+import os
 from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image
 
 from ..native import RecordReader
+
+
+def resolve_record_dir(yaml_path: str) -> str:
+    """Resolve a yaml ``data.path`` to a record-store directory.
+
+    The reference keeps two path conventions — a GIRAFFE image glob
+    (``data/ffhq/images/*.png``) and the SDF stages' separate
+    ``--dataset_path`` lmdb dir (``config.py:150-167`` vs
+    ``sdf_utils.py:455``).  Here one yaml key serves both: accept the
+    store dir itself, a parent containing ``records/``, or a glob whose
+    dirname is either.  Shared by every stage that opens the loader
+    (train.py stages A/B, the stage-C encoder loop).
+    """
+
+    def is_store(d: str) -> bool:
+        return os.path.isfile(os.path.join(d, "index.bin"))
+
+    for cand in (yaml_path, os.path.join(yaml_path, "records"),
+                 os.path.dirname(yaml_path),
+                 os.path.join(os.path.dirname(yaml_path), "records")):
+        if cand and is_store(cand):
+            return cand
+    return yaml_path if not _glob.has_magic(yaml_path) else os.path.dirname(yaml_path)
 
 
 class MultiResolutionDataset:

@@ -447,9 +447,17 @@ def render(
         normalized = p * 2.0 / (far_b - near_b)[..., None] if cfg.z_normalize else p
         return _apply_network(params, cfg, normalized, views, style)
 
-    if return_eikonal and cfg.eikonal_subsample > 0 and ekey is not None:
+    if return_eikonal and cfg.eikonal_subsample > 0:
         # Subsampled eikonal: plain forward for rendering, second-order
         # graph only over M fresh frustum points (see the config comment).
+        # A missing key must NOT silently fall back to the full-graph vjp:
+        # the configs pairing eikonal_subsample with no_remat would then
+        # compile the un-rematerialized reverse-over-reverse and OOM.
+        if ekey is None:
+            raise ValueError(
+                "eikonal_subsample > 0 requires render(..., key=...) for "
+                "the frustum-point draw"
+            )
         parts = field(pts)
         eikonal_term = _subsampled_eikonal(
             params, cfg, focal, c2w, near_b, far_b, style, ekey

@@ -314,7 +314,7 @@ def train_encoder_stage(args: Any, cfg: Any, out_base: str,
     build configs from the yaml/CLI, load the frozen ``full_pipeline``
     generator, open the record-store loader, and run :func:`train_encoder`."""
     from ..config.build import generator_config
-    from ..config.sdf_options import get_vol_render_opt
+    from ..config.sdf_options import get_vol_render_opt, rendering_overrides
     from ..data import DataLoader, MultiResolutionDataset
     from ..models.generator import init_generator
 
@@ -322,9 +322,14 @@ def train_encoder_stage(args: Any, cfg: Any, out_base: str,
     img_size = cfg["data"].get("img_size", 256)
     batch = getattr(args, "batch", 8)
     psp = bool(getattr(args, "psp", 0))
+    # rendering_overrides keeps the frozen generator's config identical to
+    # how stages A/B trained it (TPU-tuned NGP grid, bg_mode,
+    # view_independent, ...) — without it the encoder would train against
+    # a generator assembled from reference defaults.
     opt = get_vol_render_opt(expname, False, ngp=bool(getattr(args, "ngp", 0)),
                              fc=bool(getattr(args, "fc", 0)), psp=psp,
-                             size=img_size, batch=batch)
+                             size=img_size, batch=batch,
+                             extra_argv=rendering_overrides(cfg))
     gcfg = generator_config(opt, stage_a=False)
 
     template = init_generator(jax.random.PRNGKey(0), gcfg)
@@ -357,8 +362,10 @@ def train_encoder_stage(args: Any, cfg: Any, out_base: str,
     else:
         ecfg = VAEEncoderConfig(img_size=img_size, z_size=gcfg.style_dim)
 
+    from ..data import resolve_record_dir
+
     data_path = (getattr(args, "dataset_path", None)
-                 or os.path.dirname(cfg["data"]["path"]))
+                 or resolve_record_dir(cfg["data"]["path"]))
     ds = MultiResolutionDataset(data_path, resolution=img_size,
                                 nerf_resolution=gcfg.renderer.out_im_res)
     try:

@@ -38,14 +38,27 @@ def save_checkpoint(base_dir: str, name: str, tree: Dict[str, Any]) -> str:
     return path
 
 
-def _select_like(target: Any, loaded: Any) -> Any:
+def _select_like(target: Any, loaded: Any, path: str = "") -> Any:
     """Project a fully-restored tree onto the (possibly partial) target
     structure — e.g. restoring only ``g_ema`` out of ``{g, d, g_ema}``
     (the reference loads sub-state-dicts the same way, ``eval.py:71-77``)."""
     if isinstance(target, dict):
-        return {k: _select_like(v, loaded[k]) for k, v in target.items()}
+        out = {}
+        for k, v in target.items():
+            if not (isinstance(loaded, dict) and k in loaded):
+                # e.g. restoring a stage-B template from a stage-A
+                # checkpoint: name the missing subtree instead of a bare
+                # KeyError so the wrong-stage/wrong-layout cause is visible
+                have = sorted(loaded.keys()) if isinstance(loaded, dict) else type(loaded).__name__
+                raise KeyError(
+                    f"checkpoint restore: target expects {path + k!r} but the "
+                    f"saved tree has {have} — wrong-stage or old-layout "
+                    "checkpoint under this directory?"
+                )
+            out[k] = _select_like(v, loaded[k], f"{path}{k}/")
+        return out
     if isinstance(target, (list, tuple)):
-        seq = [ _select_like(t, loaded[i]) for i, t in enumerate(target) ]
+        seq = [_select_like(t, loaded[i], f"{path}{i}/") for i, t in enumerate(target)]
         return type(target)(seq) if isinstance(target, tuple) else seq
     return loaded
 

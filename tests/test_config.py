@@ -123,3 +123,38 @@ def test_geometry_counter_knobs_plumb_from_shipped_yaml():
         assert hp.sparsity_lambda == want["sparsity"], path
         assert hp.distortion_lambda == want["dist"], path
         assert hp.r1 == 100.0, path
+
+
+def test_rendering_overrides_reject_unknown_keys():
+    """parse_sdf_options drops unknown flags silently (parse_known_args),
+    so the yaml bridge must reject typo'd keys loudly — a dropped
+    sparsity_lambda would collapse training into the fog regime with
+    nothing in the logs — while still skipping the GIRAFFE-family
+    rendering keys every config inherits from configs/default.yaml."""
+    from sdface_gan_tpu.config.sdf_options import rendering_overrides
+
+    ok = rendering_overrides(
+        ConfigNode(rendering={"render_program": "rotation_camera",
+                              "render_dir": "x", "N_samples": 24})
+    )
+    assert ok == ["--N_samples", "24"]
+    with pytest.raises(ValueError, match="sparsity_lamda"):
+        rendering_overrides(ConfigNode(train_args={"sparsity_lamda": 0.1}))
+    with pytest.raises(ValueError, match="view_independant"):
+        rendering_overrides(ConfigNode(rendering={"view_independant": True}))
+
+
+def test_select_like_names_missing_subtree(tmp_path):
+    """Restoring a template whose keys the checkpoint lacks (e.g. a stage-B
+    tree from a stage-A checkpoint) must say WHICH subtree is missing, not
+    raise a bare KeyError('decoder')."""
+    import jax.numpy as jnp
+
+    from sdface_gan_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path), "models_0000001",
+                    {"g": {"renderer": jnp.zeros((2,))}, "step": 1})
+    with pytest.raises(KeyError, match="g/decoder"):
+        load_checkpoint(str(tmp_path), "models_0000001",
+                        {"g": {"renderer": jnp.zeros((2,)),
+                               "decoder": jnp.zeros((2,))}, "step": 0})

@@ -586,10 +586,12 @@ def test_eikonal_subsample():
     full, sub = eik_mean(out_full), eik_mean(out_big)
     assert abs(full - sub) / max(full, 1e-6) < 0.15, (full, sub)
 
-    # without a key (test mode) the knob falls back to the full pullback
-    out_nokey = render(p, cfg_s, cams.focal, cams.extrinsics, cams.near,
-                       cams.far, style, key=None, return_eikonal=True)
-    assert out_nokey.eikonal_term.shape == (2, 8, 8, 6, 3)
+    # without a key the knob must raise, not silently fall back to the
+    # full-graph pullback — the configs pairing eikonal_subsample with
+    # no_remat would OOM on the un-rematerialized reverse-over-reverse
+    with pytest.raises(ValueError, match="eikonal_subsample"):
+        render(p, cfg_s, cams.focal, cams.extrinsics, cams.near,
+               cams.far, style, key=None, return_eikonal=True)
 
 
 def test_eikonal_subsample_ngp():

@@ -68,29 +68,6 @@ def main(argv=None) -> None:
         train_giraffe_family(args, cfg)
 
 
-def _resolve_record_dir(yaml_path: str) -> str:
-    """Resolve the yaml ``data.path`` to a record-store directory.
-
-    The reference keeps two path conventions — a GIRAFFE image glob
-    (``data/ffhq/images/*.png``) and the SDF stages' separate
-    ``--dataset_path`` lmdb dir (``config.py:150-167`` vs
-    ``sdf_utils.py:455``).  Here one yaml key serves both: accept the
-    store dir itself, a parent containing ``records/``, or a glob whose
-    dirname is either.
-    """
-    import glob as _glob
-
-    def is_store(d: str) -> bool:
-        return os.path.isfile(os.path.join(d, "index.bin"))
-
-    for cand in (yaml_path, os.path.join(yaml_path, "records"),
-                 os.path.dirname(yaml_path),
-                 os.path.join(os.path.dirname(yaml_path), "records")):
-        if cand and is_store(cand):
-            return cand
-    return yaml_path if not _glob.has_magic(yaml_path) else os.path.dirname(yaml_path)
-
-
 def train_sdf(args, cfg) -> None:
     from sdface_gan_tpu.config.build import (
         discriminator_configs,
@@ -101,7 +78,11 @@ def train_sdf(args, cfg) -> None:
         get_vol_render_opt,
         rendering_overrides,
     )
-    from sdface_gan_tpu.data import DataLoader, MultiResolutionDataset
+    from sdface_gan_tpu.data import (
+        DataLoader,
+        MultiResolutionDataset,
+        resolve_record_dir,
+    )
     from sdface_gan_tpu.training.loop import train_full_pipeline, train_volume_renderer
     from sdface_gan_tpu.utils.checkpoints import checkpoint_exists
 
@@ -120,7 +101,7 @@ def train_sdf(args, cfg) -> None:
         need_a, need_b = False, True
 
     exit_after = args.exit_after if args.exit_after > 0 else None
-    data_path = args.dataset_path or _resolve_record_dir(cfg["data"]["path"])
+    data_path = args.dataset_path or resolve_record_dir(cfg["data"]["path"])
     img_size = cfg["data"].get("img_size", 256)
 
     if need_a:
