@@ -31,6 +31,13 @@ def parse_args(argv=None):
     p.add_argument("--inception_weights", type=str, default=None,
                    help="pytorch-fid inception checkpoint for exact parity")
     p.add_argument("--no_fid", action="store_true")
+    p.add_argument("--g_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="generation precision: bfloat16 casts the EMA "
+                        "weights like the serving path (MXU-native; the "
+                        "renderer pins compositing to f32 internally) — "
+                        "~2x the protocol throughput, FID delta measured "
+                        "in docs/TRAINING_RUN.md")
     p.add_argument("--no_dump", action="store_true",
                    help="skip the PNG dump and fuse generation + inception "
                         "into one on-device program — only 2048-d "
@@ -78,6 +85,28 @@ def main(argv=None) -> None:
     template = init_generator(jax.random.PRNGKey(0), gcfg)
     ck = load_checkpoint(out_base, "full_pipeline", {"g_ema": template})
     g_ema = ck["g_ema"]
+    if args.g_dtype != "float32":
+        # the serving-path cast (serving/bench): bf16 weights, f32 SDF
+        # compositing (pinned inside the renderer)
+        cast_dt = jnp.dtype(args.g_dtype)
+        g_ema = jax.tree_util.tree_map(
+            lambda x: x.astype(cast_dt) if x.dtype == jnp.float32 else x,
+            g_ema,
+        )
+
+    # Resolve the real-stats source up front: with --no_dump and no FID
+    # source the whole generation pass would produce nothing (no PNGs, no
+    # score) — fail before spending the compute, not after.
+    fid_file = args.fid_file or cfg["data"].get("fid_file")
+    if fid_file and not os.path.exists(fid_file):
+        print(f"fid_file {fid_file!r} not found; falling back to --real_dir")
+        fid_file = None
+    if args.no_dump and not args.no_fid and not fid_file and not args.real_dir:
+        raise SystemExit(
+            "--no_dump produces no PNGs, and no real-stats source is "
+            "available to score against — pass --fid_file or --real_dir "
+            "(or drop --no_dump to keep the image dump)"
+        )
 
     res = gcfg.renderer.out_im_res
 
@@ -97,7 +126,9 @@ def main(argv=None) -> None:
 
     def _sample(params, z, extr, focal, near, far, key):
         out = generator_forward(params, gcfg, [z], extr, focal, near, far, key=key)
-        return out.rgb
+        # images leave the program f32 regardless of --g_dtype (PNG encode
+        # and inception scoring both expect it)
+        return out.rgb.astype(jnp.float32)
 
     sample = data_parallel_jit(_sample, mesh, batch_argnums=(1, 2, 3, 4, 5))
 
@@ -154,7 +185,7 @@ def main(argv=None) -> None:
         def _sample_acts(params, incp, z, extr, focal, near, far, key):
             out = generator_forward(params, gcfg, [z], extr, focal, near,
                                     far, key=key)
-            return inception_pool3(incp, out.rgb)
+            return inception_pool3(incp, out.rgb.astype(jnp.float32))
 
         sample_acts = data_parallel_jit(_sample_acts, mesh,
                                         batch_argnums=(2, 3, 4, 5, 6))
@@ -185,8 +216,7 @@ def main(argv=None) -> None:
               f"incl. streaming FID)")
     mu_f, s_f = calculate_activation_statistics(fake_acts)
 
-    fid_file = args.fid_file or cfg["data"].get("fid_file")
-    if fid_file and os.path.exists(fid_file):
+    if fid_file:
         mu_r, s_r = load_stats_npz(fid_file, expect_img_size=img_size)
         fid = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
         print(f"FID: {fid:.4f}")
@@ -224,10 +254,8 @@ def main(argv=None) -> None:
         fid = calculate_frechet_distance(mu_f, s_f, mu_r, s_r)
         kid_mean, kid_std = calculate_kid(fake_acts, real_acts)
         print(f"FID: {fid:.4f}  KID: {kid_mean:.6f} +- {kid_std:.6f}")
-    elif args.no_dump:
-        print("no real stats available (pass --fid_file or --real_dir); "
-              "nothing written (--no_dump skips the PNG dump)")
     else:
+        # unreachable with --no_dump (the up-front source check fails fast)
         print("no real stats available (pass --fid_file or --real_dir); "
               "images dumped for external scoring")
 

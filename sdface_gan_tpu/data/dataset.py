@@ -50,6 +50,22 @@ def resolve_record_dir(yaml_path: str) -> str:
     return yaml_path if not _glob.has_magic(yaml_path) else os.path.dirname(yaml_path)
 
 
+def _open_store(path: str) -> RecordReader:
+    """Open a record store, naming the layouts ``resolve_record_dir``
+    probes when it's missing (an unprepared checkout should fail with an
+    actionable message, not just the post-resolution directory)."""
+    try:
+        return RecordReader(path)
+    except IOError as e:
+        raise IOError(
+            f"no record store under {path!r} (need index.bin/data.bin as "
+            "written by prepare_data.py; the yaml data.path may be the "
+            "store dir itself, a parent containing records/, or an image "
+            "glob whose dirname is either — run prepare_data.py first if "
+            "this checkout has no prepared dataset)"
+        ) from e
+
+
 class MultiResolutionDataset:
     def __init__(
         self,
@@ -58,7 +74,7 @@ class MultiResolutionDataset:
         nerf_resolution: int = 64,
         hflip: bool = True,
     ):
-        self.reader = RecordReader(path)
+        self.reader = _open_store(path)
         length = self.reader.get("length")
         if length is None:
             raise IOError(f"record store at {path} has no 'length' key")
@@ -108,7 +124,7 @@ class LSUNClass:
 
     def __init__(self, path: str, size: int = 64, use_tanh_range: bool = False,
                  hflip: bool = True, key_width: int = 5, resolution_prefix: str = ""):
-        self.reader = RecordReader(path)
+        self.reader = _open_store(path)
         length = self.reader.get("length")
         self.length = int(length.decode()) if length else len(self.reader)
         self.size = size

@@ -195,6 +195,7 @@ def apply_volume_render_discriminator(
 class StyleDiscConfig:
     size: int = 256
     channel_multiplier: int = 2
+    channel_base: int = 512
     stddev_group: int = 4
     stddev_feat: int = 1
 
@@ -202,7 +203,7 @@ class StyleDiscConfig:
     def channels(self) -> Dict[int, int]:
         from .stylegan2 import channel_table
 
-        return channel_table(self.channel_multiplier)
+        return channel_table(self.channel_multiplier, self.channel_base)
 
     def block_channels(self) -> List[Tuple[int, int]]:
         chans = self.channels

@@ -46,6 +46,7 @@ class GeneratorConfig:
     full_pipeline: bool = True
     freeze_renderer: bool = False
     channel_multiplier: int = 2
+    channel_base: int = 512
     lr_mapping: float = 0.01
     renderer: RendererConfig = RendererConfig()
 
@@ -57,6 +58,7 @@ class GeneratorConfig:
             in_res=self.renderer.out_im_res,
             in_channels=self.renderer.width,
             channel_multiplier=self.channel_multiplier,
+            channel_base=self.channel_base,
             lr_mapping=self.lr_mapping,
         )
 

@@ -298,18 +298,27 @@ def apply_to_rgb(
 # Decoder — 64^2 feature map -> full-res image
 # ---------------------------------------------------------------------------
 
-def channel_table(channel_multiplier: int) -> Dict[int, int]:
-    """Per-resolution channel widths (reference ``sdf_model.py:913-923``)."""
+def channel_table(
+    channel_multiplier: int, channel_base: int = 512
+) -> Dict[int, int]:
+    """Per-resolution channel widths (reference ``sdf_model.py:913-923``).
+
+    ``channel_base`` scales the whole table (the reference hard-codes 512);
+    the default reproduces reference widths exactly.  Smaller bases exist so
+    tiny smoke/dryrun configs don't compile-and-run 512-wide convs at 16^2
+    (the table floors at 512 below 64^2 otherwise).
+    """
+    base = channel_base
     return {
-        4: 512,
-        8: 512,
-        16: 512,
-        32: 512,
-        64: 256 * channel_multiplier,
-        128: 128 * channel_multiplier,
-        256: 64 * channel_multiplier,
-        512: 32 * channel_multiplier,
-        1024: 16 * channel_multiplier,
+        4: base,
+        8: base,
+        16: base,
+        32: base,
+        64: base // 2 * channel_multiplier,
+        128: base // 4 * channel_multiplier,
+        256: base // 8 * channel_multiplier,
+        512: base // 16 * channel_multiplier,
+        1024: base // 32 * channel_multiplier,
     }
 
 
@@ -320,6 +329,7 @@ class DecoderConfig:
     in_res: int = 64  # renderer_spatial_output_dim
     in_channels: int = 256  # renderer feature width
     channel_multiplier: int = 2
+    channel_base: int = 512
     lr_mapping: float = 0.01
     n_mapping: int = 5
 
@@ -341,7 +351,7 @@ class DecoderConfig:
 
     @property
     def channels(self) -> Dict[int, int]:
-        return channel_table(self.channel_multiplier)
+        return channel_table(self.channel_multiplier, self.channel_base)
 
     def block_channels(self) -> List[Tuple[int, int]]:
         """(in, out) for each upsampling block."""

@@ -58,6 +58,17 @@ def _select_like(target: Any, loaded: Any, path: str = "") -> Any:
             out[k] = _select_like(v, loaded[k], f"{path}{k}/")
         return out
     if isinstance(target, (list, tuple)):
+        if not isinstance(loaded, (list, tuple)) or len(loaded) < len(target):
+            have = (
+                f"a {len(loaded)}-element sequence"
+                if isinstance(loaded, (list, tuple))
+                else type(loaded).__name__
+            )
+            raise KeyError(
+                f"checkpoint restore: target expects a {len(target)}-element "
+                f"sequence at {path or '/'!r} but the saved tree has {have} — "
+                "wrong-stage or old-layout checkpoint under this directory?"
+            )
         seq = [_select_like(t, loaded[i], f"{path}{i}/") for i, t in enumerate(target)]
         return type(target)(seq) if isinstance(target, tuple) else seq
     return loaded

@@ -385,6 +385,35 @@ def test_decoder_pyramid_shapes():
     np.testing.assert_allclose(np.asarray(img2), np.asarray(img3))
 
 
+def test_decoder_512_shapes():
+    """512^2 decoder pyramid (reference ``prepare_data.py:82`` sizes;
+    ``channel_table`` covers to 1024).  ``channel_base`` shrinks widths so
+    CPU can execute the seven-layer pyramid; the shape math under test
+    (noise ladder, latent count) is width-independent."""
+    cfg = DecoderConfig(size=512, style_dim=32, in_res=64, in_channels=16,
+                        channel_multiplier=1, channel_base=16)
+    assert cfg.num_layers == 7 and cfg.n_latent == 8
+    assert cfg.noise_shapes() == [64, 128, 128, 256, 256, 512, 512]
+    p = init_decoder(KEY, cfg)
+    feats = jax.random.normal(KEY, (1, 64, 64, 16))
+    z = jax.random.normal(KEY, (1, 16))
+    latent = make_decoder_latent(p, cfg, [z])
+    assert latent.shape == (1, 8, 32)
+    img = apply_decoder(p, cfg, feats, latent, noise_key=jax.random.PRNGKey(3))
+    assert img.shape == (1, 512, 512, 3)
+
+
+def test_channel_table_reference_defaults():
+    """channel_base=512 (the default) must reproduce the reference's
+    table exactly (``sdf_model.py:913-923``)."""
+    from sdface_gan_tpu.models.stylegan2 import channel_table
+
+    assert channel_table(2) == {4: 512, 8: 512, 16: 512, 32: 512, 64: 512,
+                                128: 256, 256: 128, 512: 64, 1024: 32}
+    assert channel_table(1) == {4: 512, 8: 512, 16: 512, 32: 512, 64: 256,
+                                128: 128, 256: 64, 512: 32, 1024: 16}
+
+
 def test_decoder_style_mixing_inject_index():
     cfg = DecoderConfig(size=32, style_dim=32, in_res=16, in_channels=8,
                         channel_multiplier=1)
