@@ -160,7 +160,11 @@ def _sample_grid(
             g_ema, z8, cams.extrinsics[sl], cams.focal[sl], cams.near[sl],
             cams.far[sl], trunc,
         )))
-    save_image_grid(np.concatenate(rows, axis=0), path, nrow=8)
+    # Multi-process: every host executes the render (it's a global program
+    # when g_ema lives on a cross-host mesh — skipping it on one host would
+    # hang the collective), but only process 0 touches the shared fs.
+    if jax.process_index() == 0:
+        save_image_grid(np.concatenate(rows, axis=0), path, nrow=8)
 
 
 def train_volume_renderer(

@@ -28,14 +28,55 @@ def _path(base: str, name: str) -> str:
 
 
 def save_checkpoint(base_dir: str, name: str, tree: Dict[str, Any]) -> str:
-    """Save a pytree checkpoint (overwrites)."""
+    """Save a pytree checkpoint (overwrites).
+
+    Multi-process safe: every process must call this (orbax's save is a
+    collective over the global arrays), but the overwrite-cleanup runs on
+    process 0 only, behind a barrier — otherwise two hosts race
+    ``rmtree`` against each other on a shared filesystem.  Completes the
+    reference's DDP stub semantics (``sdf_utils.py:334-379`` never ran
+    multi-process, so it never had to answer this)."""
+    import jax
+
     path = _path(base_dir, name)
     os.makedirs(base_dir, exist_ok=True)
-    if os.path.exists(path):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0 and os.path.exists(path):
+            shutil.rmtree(path)
+        multihost_utils.sync_global_devices(f"save_checkpoint:{name}")
+        tree = _globalize_host_local(tree)
+    elif os.path.exists(path):
         shutil.rmtree(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, tree)
     return path
+
+
+def _globalize_host_local(tree: Any) -> Any:
+    """Lift host-local arrays onto a replicated global sharding.
+
+    Pre-mesh state (e.g. the sphere-init params, computed identically on
+    every host before ``replicate()``) lives on single local devices;
+    orbax refuses to serialize host-local arrays in a multi-process run.
+    Every host holds the same values, so a replicated ``device_put`` of
+    the host copy is exact."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    rep = NamedSharding(Mesh(np.asarray(jax.devices()), ("_ckpt",)),
+                        PartitionSpec())
+
+    def _lift(x):
+        if isinstance(x, jax.Array) and (
+            len(x.sharding.device_set) < jax.device_count()
+        ):
+            return jax.device_put(np.asarray(x), rep)
+        return x
+
+    return jax.tree_util.tree_map(_lift, tree)
 
 
 def _select_like(target: Any, loaded: Any, path: str = "") -> Any:

@@ -26,9 +26,18 @@ class MetricsLogger:
         use_wandb: bool = False,
         wandb_project: Optional[str] = None,
     ):
+        # Multi-process runs log from process 0 only (every host computes
+        # the same psum-reduced metrics, so other hosts' lines would be
+        # duplicates interleaved into the same file on a shared fs).
+        try:
+            import jax
+
+            self._primary = jax.process_index() == 0
+        except Exception:
+            self._primary = True
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{name}_metrics.jsonl")
-        self._file = open(self.path, "a")
+        self._file = open(self.path, "a") if self._primary else None
         self.print_every = print_every
         self._last_print = 0.0
         self._wandb = None
@@ -42,6 +51,8 @@ class MetricsLogger:
                 pass
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not self._primary:
+            return
         row = {"step": step, "time": time.time()}
         row.update({k: float(v) for k, v in metrics.items()})
         self._file.write(json.dumps(row) + "\n")
@@ -68,4 +79,5 @@ class MetricsLogger:
             jax.profiler.stop_trace()
 
     def close(self) -> None:
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
