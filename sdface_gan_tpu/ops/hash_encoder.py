@@ -291,6 +291,211 @@ def hash_encode_vjp_sorted(
     return grad.astype(table.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Packed-corner inference tables: one gather per (level, point) instead of 8
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PackPlan:
+    """Static plan for corner-packed inference tables.
+
+    Attack on the measured gather wall (module docstring: XLA's TPU gather
+    is LOOKUP-COUNT-bound at ~2.2e8 rows/s regardless of row width): store,
+    for every grid CELL, all 2^D corner feature rows contiguously, so the
+    encode needs ONE gather of a [2^D * C]-wide row per (level, point)
+    instead of 2^D gathers of C-wide rows.  The packed table is a pure
+    post-training repack of the standard table — packing cell (i,j,k) copies
+    the exact rows (including hash collisions) the standard encode would
+    fetch — so packed inference is BIT-EXACT vs :func:`hash_encode`; the
+    price is memory (res^D rows per level, 2^D x the feature bytes), so only
+    levels that fit ``max_bytes`` are packed and the rest fall back to the
+    standard 8-corner gather.  Training keeps the standard layout (the
+    scatter-add backward needs corner sharing).
+
+    Wide rows also fix the lane-padding tax: the standard gather's minor dim
+    is C (< 128 lanes pads 16x at C=8, ``bench_ngp.py:139-150``); packed rows
+    are 2^D * C wide.
+
+    The per-level ``row_offsets`` place every packed level in ONE
+    concatenated [total_rows, 2^D * C] array so all packed levels resolve in
+    a single gather op.  (A Pallas kernel holding dense levels in VMEM was
+    the other candidate design; it is not expressible in jax 0.9 — Mosaic's
+    only vector-gather lowering requires table.shape == indices.shape,
+    ``jax/_src/pallas/mosaic/lowering.py:2482-2524`` — see
+    docs/PERFORMANCE.md.)
+    """
+
+    spec: HashGridSpec
+    packed_levels: Tuple[int, ...]
+    row_offsets: Tuple[int, ...]  # start row per packed level, + total
+
+    @property
+    def total_rows(self) -> int:
+        return self.row_offsets[-1]
+
+    @property
+    def row_width(self) -> int:
+        return (2**self.spec.input_dim) * self.spec.level_dim
+
+    def level_rows(self, lvl: int) -> int:
+        return self.spec.level_resolution(lvl) ** self.spec.input_dim
+
+
+def plan_packing(
+    spec: HashGridSpec, max_bytes: int = 1 << 30, bytes_per_el: int = 2
+) -> PackPlan:
+    """Choose which levels to corner-pack under a memory budget.
+
+    Greedy cheapest-first (low levels have the fewest cells), since every
+    packed level saves the same 2^D - 1 lookups per point regardless of its
+    size.  ``bytes_per_el`` should match the dtype the packed table will be
+    stored in (2 for the bf16 serving path).
+    """
+    row_bytes = (2**spec.input_dim) * spec.level_dim * bytes_per_el
+    packed: List[int] = []
+    offsets: List[int] = []
+    total = 0
+    for lvl in sorted(
+        range(spec.num_levels), key=lambda l: spec.level_resolution(l)
+    ):
+        rows = spec.level_resolution(lvl) ** spec.input_dim
+        if total + rows * row_bytes > max_bytes:
+            break
+        packed.append(lvl)
+        total += rows * row_bytes
+    packed.sort()
+    offset = 0
+    for lvl in packed:
+        offsets.append(offset)
+        offset += spec.level_resolution(lvl) ** spec.input_dim
+    offsets.append(offset)
+    return PackPlan(spec=spec, packed_levels=tuple(packed), row_offsets=tuple(offsets))
+
+
+def pack_hash_table(
+    table: jnp.ndarray | np.ndarray,
+    plan: PackPlan,
+    dtype=jnp.bfloat16,
+    chunk_cells: int = 1 << 21,
+) -> jnp.ndarray:
+    """Build the packed-corner table (host-side, chunked to bound RAM).
+
+    For each packed level and each cell base coordinate, copies the 2^D
+    corner rows the standard encode would gather (same hash / dense
+    indexing, same corner order as :func:`_corner_offsets`).
+    """
+    spec = plan.spec
+    np_table = np.asarray(table, dtype=np.float32)
+    corners = _corner_offsets(spec.input_dim)  # [K, D]
+    out = np.empty((plan.total_rows, plan.row_width), dtype=np.float32)
+    for li, lvl in enumerate(plan.packed_levels):
+        res = spec.level_resolution(lvl)
+        size = spec.level_table_size(lvl)
+        side = res if spec.align_corners else res + 1
+        use_hash = spec.level_uses_hash(lvl)
+        n_cells = res**spec.input_dim
+        base = plan.row_offsets[li]
+        for start in range(0, n_cells, chunk_cells):
+            stop = min(start + chunk_cells, n_cells)
+            lin = np.arange(start, stop, dtype=np.uint32)
+            # cell coords, axis-0-minor to match the encode's linear index
+            coords = np.empty((stop - start, spec.input_dim), dtype=np.uint32)
+            rem = lin
+            for d in range(spec.input_dim):
+                coords[:, d] = rem % res
+                rem = rem // res
+            for k in range(corners.shape[0]):
+                cg = coords + corners[k][None, :]  # [n, D]
+                if use_hash:
+                    idx = np.zeros(cg.shape[0], dtype=np.uint32)
+                    for d in range(spec.input_dim):
+                        idx ^= cg[:, d] * np.uint32(_PRIMES[d])
+                else:
+                    idx = np.zeros(cg.shape[0], dtype=np.uint32)
+                    stride = 1
+                    for d in range(spec.input_dim):
+                        idx += cg[:, d] * np.uint32(stride)
+                        stride *= side
+                rows = (idx % np.uint32(size)).astype(np.int64) + spec.offsets[lvl]
+                out[base + start : base + stop,
+                    k * spec.level_dim : (k + 1) * spec.level_dim] = np_table[rows]
+    return jnp.asarray(out.astype(jnp.dtype(dtype) if dtype is not None else out.dtype))
+
+
+def hash_encode_packed(
+    x: jnp.ndarray,
+    table: jnp.ndarray,
+    packed: jnp.ndarray,
+    plan: PackPlan,
+    bound: float = 1.0,
+) -> jnp.ndarray:
+    """:func:`hash_encode` with corner-packed levels: one [2^D * C]-wide
+    gather per packed (level, point); unpacked levels use the standard
+    8-corner path.  Bit-exact vs :func:`hash_encode` up to the packed
+    table's dtype (tested in ``tests/test_ops.py``)."""
+    spec = plan.spec
+    if x.shape[-1] != spec.input_dim:
+        raise ValueError(f"expected last dim {spec.input_dim}, got {x.shape}")
+    prefix = x.shape[:-1]
+    x01 = (x.reshape(-1, spec.input_dim) + bound) / (2.0 * bound)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)
+    x01f = jnp.clip(x01.astype(jnp.float32), 0.0, 1.0)
+
+    corners = _corner_offsets(spec.input_dim)
+    K = corners.shape[0]
+    packed_set = set(plan.packed_levels)
+
+    # One fused gather for ALL packed levels: level-major [Lp, N] indices.
+    idx_rows, w_rows = [], []
+    for li, lvl in enumerate(plan.packed_levels):
+        scale = spec.level_scale(lvl)
+        res = spec.level_resolution(lvl)
+        pos = x01f * scale + (0.0 if spec.align_corners else 0.5)
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        pg = pos_grid.astype(jnp.int32)  # [N, D], in [0, res-1]
+        lin = jnp.zeros(pg.shape[0], dtype=jnp.int32)
+        stride = 1
+        for d in range(spec.input_dim):
+            lin = lin + pg[:, d] * stride
+            stride *= res
+        idx_rows.append(lin + plan.row_offsets[li])
+        one_minus = 1.0 - frac
+        factors = []
+        for k in range(K):
+            f = None
+            for d in range(spec.input_dim):
+                fd = frac[:, d] if corners[k, d] == 1 else one_minus[:, d]
+                f = fd if f is None else f * fd
+            factors.append(f)
+        w_rows.append(jnp.stack(factors, axis=0))  # [K, N]
+
+    packed_outs = {}
+    if plan.packed_levels:
+        idx = jnp.stack(idx_rows, axis=0)  # [Lp, N]
+        gathered = packed[idx]  # [Lp, N, K*C]
+        w = jnp.stack(w_rows, axis=0)  # [Lp, K, N] f32
+        g = gathered.reshape(gathered.shape[0], gathered.shape[1], K, spec.level_dim)
+        out_p = jnp.einsum("lkn,lnkc->lnc", w, g.astype(w.dtype))  # [Lp, N, C]
+        for li, lvl in enumerate(plan.packed_levels):
+            packed_outs[lvl] = out_p[li]
+
+    level_outs = []
+    for lvl in range(spec.num_levels):
+        if lvl in packed_set:
+            level_outs.append(packed_outs[lvl])
+            continue
+        idx, w = _level_index_weight(x01f, spec, lvl, corners)
+        gathered = table[idx]
+        level_outs.append(jnp.einsum("kn,knc->nc", w, gathered.astype(w.dtype)))
+
+    out = jnp.concatenate([o.astype(jnp.float32) for o in level_outs], axis=-1)
+    out = jnp.where(oob, 0.0, out)
+    return out.reshape(prefix + (spec.output_dim,)).astype(table.dtype)
+
+
 def hash_table_total_variation(
     table: jnp.ndarray,
     spec: HashGridSpec,

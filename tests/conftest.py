@@ -26,3 +26,29 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Fast-by-default suite: tests marked `slow` (the scratch-torch golden
+# towers, multi-minute on this 1-core box) are deselected unless --runslow
+# is given.  `pytest tests/ -q` is the fast gate; `pytest tests/ --runslow`
+# is the full gate (run at least once per round).
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full gate)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -39,6 +39,7 @@ def fake_loader(img_res: int, thumb_res: int, batch: int):
         )
 
 
+@pytest.mark.slow
 def test_vae_encoder_loop_exit_resume(tmp_path):
     """Train 1 step, hit the exit-after contract, resume, finish: the loop
     must carry encoder + optimizer state across the exit(3) boundary and
@@ -76,6 +77,7 @@ def test_vae_encoder_loop_exit_resume(tmp_path):
     assert os.path.exists(os.path.join(out, "encoder_metrics.jsonl"))
 
 
+@pytest.mark.slow
 def test_psp_encoder_loop_trains(tmp_path):
     """--psp path: GradualStyleEncoder W+ drives the decoder via
     input_is_latent with the learned renderer projection; one step must
@@ -102,6 +104,7 @@ def test_psp_encoder_loop_trains(tmp_path):
     assert np.asarray(e["proj"]["w"]).shape == (512, 256)
 
 
+@pytest.mark.slow
 def test_psp_equal_resolution_decoder(tmp_path):
     """Regression: a decoder whose input resolution equals the output
     (renderer out_im_res == size, e.g. the 64^2 synthetic config) has

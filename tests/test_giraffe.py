@@ -247,6 +247,7 @@ def test_render_programs_and_mesh_extraction(tmp_path):
     assert mesh.verts.shape[1] == 3 and mesh.faces.shape[1] == 3
 
 
+@pytest.mark.slow
 def test_every_render_program_runs(tmp_path):
     """Every program name the reference's render_full_visualization
     dispatches (rendering.py:39-77) runs on a tiny random model."""

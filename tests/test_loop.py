@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdface_gan_tpu.models.discriminator import StyleDiscConfig, VolumeRenderDiscConfig
 from sdface_gan_tpu.models.generator import GeneratorConfig
@@ -45,6 +46,7 @@ def fake_loader(res: int, batch: int):
         yield img, thumb
 
 
+@pytest.mark.slow
 def test_stage_a_loop_and_resume(tmp_path):
     out = str(tmp_path / "vr")
     loader = fake_loader(8, 2)
@@ -65,6 +67,7 @@ def test_stage_a_loop_and_resume(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stage_b_loop_inits_from_stage_a(tmp_path):
     out_a = str(tmp_path / "exp")
     # fabricate a stage-A artifact with compatible renderer shapes
@@ -91,6 +94,7 @@ def test_stage_b_loop_inits_from_stage_a(tmp_path):
     assert np.abs(w).max() > 50.0
 
 
+@pytest.mark.slow
 def test_stage_b_exit_after_resume_preserves_path_state(tmp_path):
     """Kill stage B mid-run via the exit-after contract and resume: the
     checkpoint must carry ``mean_path_length``, optimizer state and EMA,

@@ -27,6 +27,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -123,6 +124,7 @@ def _read_metrics(out_dir: str):
     return rows
 
 
+@pytest.mark.slow
 def test_two_process_stage_a_matches_single_process(tmp_path):
     one = str(tmp_path / "one")
     two = str(tmp_path / "two")

@@ -379,3 +379,43 @@ def test_fused_siren_kernel_bf16_default_quality():
     err_kern = np.mean(np.abs(kern16 - truth))
     assert err_kern <= 1.2 * err_xla + 1e-4, (err_kern, err_xla)
     assert err_kern < 0.05, err_kern
+
+
+def test_hash_encode_packed_bit_exact():
+    """Corner-packed inference tables (ops/hash_encoder.py PackPlan): a
+    pure repack of the trained table, so fully-packed output must be
+    BIT-exact vs hash_encode, and a partial pack (some levels over budget,
+    falling back to the 8-corner gather) must agree too."""
+    from sdface_gan_tpu.ops.hash_encoder import (
+        hash_encode_packed,
+        pack_hash_table,
+        plan_packing,
+    )
+
+    # small hash table -> top levels hashed with collisions
+    spec = HashGridSpec.create(
+        num_levels=4, base_resolution=4, desired_resolution=64, log2_hashmap_size=7
+    )
+    table = init_hash_table(jax.random.PRNGKey(0), spec, std=1.0)
+    # include OOB points: packed path must zero them identically
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-1.2, maxval=1.2)
+    ref = np.asarray(hash_encode(x, table, spec))
+
+    # full pack, f32: bit-exact
+    plan = plan_packing(spec, max_bytes=1 << 30, bytes_per_el=4)
+    assert plan.packed_levels == (0, 1, 2, 3)
+    packed = pack_hash_table(table, plan, dtype=jnp.float32)
+    got = np.asarray(hash_encode_packed(x, table, packed, plan))
+    np.testing.assert_array_equal(got, ref)
+
+    # partial pack (budget covers only the small levels) + mixed fallback
+    small = plan_packing(spec, max_bytes=30_000, bytes_per_el=4)
+    assert 0 < len(small.packed_levels) < spec.num_levels
+    packed_s = pack_hash_table(table, small, dtype=jnp.float32)
+    got_s = np.asarray(hash_encode_packed(x, table, packed_s, small))
+    np.testing.assert_array_equal(got_s, ref)
+
+    # bf16 pack: serving precision, tolerance-level agreement
+    packed_h = pack_hash_table(table, plan, dtype=jnp.bfloat16)
+    got_h = np.asarray(hash_encode_packed(x, table, packed_h, plan))
+    np.testing.assert_allclose(got_h, ref, rtol=2e-2, atol=2e-2)

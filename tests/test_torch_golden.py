@@ -405,6 +405,7 @@ def test_inception_pool3_import_golden():
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fid_pipeline_end_to_end_golden():
     """Full FID chain parity (reference ``im2scene/eval.py:36-192``): the
     same random inception weights and the same two image sets through

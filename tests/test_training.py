@@ -153,6 +153,7 @@ def test_stage_a_g_step_bf16_mixed_precision():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_bf16_covers_d_steps_and_stage_b_g_step():
     """g_param_dtype='bfloat16' must also reach (a) the detached fake
     forward inside both D steps and (b) the stage-B G-step closure —
@@ -308,6 +309,7 @@ def test_stage_a_distortion_metric():
     assert _finite(g)
 
 
+@pytest.mark.slow
 def test_stage_a_ngp_smoothness_metric():
     gcfg = GeneratorConfig(
         size=16, style_dim=16, full_pipeline=False,
@@ -327,6 +329,7 @@ def test_stage_a_ngp_smoothness_metric():
     assert "g_smooth" in gm and np.isfinite(float(gm["g_smooth"]))
 
 
+@pytest.mark.slow
 def test_stage_b_steps_and_decoder_only_freeze():
     kg, kd = jax.random.split(KEY)
     g = init_generator(kg, B_GCFG)
@@ -375,6 +378,7 @@ def test_ema_accumulate_decay():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_stage_a_data_parallel_on_mesh():
     mesh = make_mesh()
     kg, kd = jax.random.split(KEY)
