@@ -63,6 +63,7 @@ def main(argv=None) -> None:
     from sdface_gan_tpu.config.sdf_options import (
         get_vol_render_opt,
         rendering_overrides,
+        resolve_renderer_type,
     )
     from sdface_gan_tpu.config.yaml_config import default_config_path
     from sdface_gan_tpu.geometry import generate_camera_params
@@ -77,7 +78,7 @@ def main(argv=None) -> None:
     os.makedirs(eval_dir, exist_ok=True)
 
     img_size = cfg["data"].get("img_size", 256)
-    opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
+    opt = get_vol_render_opt(expname, False, ngp=resolve_renderer_type(cfg, bool(args.ngp)), fc=bool(args.fc),
                              size=img_size, batch=args.batch,
                              extra_argv=rendering_overrides(cfg))
     gcfg = generator_config(opt, stage_a=False)

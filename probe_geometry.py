@@ -68,6 +68,7 @@ def main(argv=None) -> None:
     from sdface_gan_tpu.config.sdf_options import (
         get_vol_render_opt,
         rendering_overrides,
+        resolve_renderer_type,
     )
     from sdface_gan_tpu.config.yaml_config import default_config_path
     from sdface_gan_tpu.geometry import generate_camera_params
@@ -90,7 +91,7 @@ def main(argv=None) -> None:
         args.size = int(cfg["data"]["img_size"])
 
     stage_a = args.stage == "a"
-    opt = get_vol_render_opt(expname, stage_a, ngp=bool(args.ngp),
+    opt = get_vol_render_opt(expname, stage_a, ngp=resolve_renderer_type(cfg, bool(args.ngp)),
                              fc=bool(args.fc), size=args.size,
                              extra_argv=rendering_overrides(cfg))
     gcfg = generator_config(opt, stage_a=stage_a)

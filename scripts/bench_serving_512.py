@@ -4,10 +4,15 @@
 The reference contemplates 512/1024 outputs (prepare_data.py:82 sizes;
 channel_table to 1024, sdf_model.py:913-923) but ships no config above
 256^2; `configs/512res/ffhq_512_sdf_tpu.yaml` supplies one.  This bench
-measures the serving forward (mapping -> 64^2 SIREN renderer -> 8-layer
-decoder pyramid to 512^2, bf16 weights / f32 compositing — the bench.py
-protocol) at full production widths over a batch sweep, reporting img/s
-and whether the program fits HBM at each batch.
+measures the serving forward (mapping -> 64^2 SIREN renderer -> 7-layer
+decoder pyramid, in_res 64 -> 512, bf16 weights / f32 compositing — the
+bench.py protocol) at full production widths over a batch sweep,
+reporting img/s and whether the program fits HBM at each batch.
+
+The GeneratorConfig comes from the yaml through the production config
+loader (``generator_config``), so the bench always measures exactly what
+the shipped config trains/serves (ADVICE r4: a hardcoded parallel config
+would silently diverge from yaml edits).
 
 Run on the real chip: ``python scripts/bench_serving_512.py [batches...]``.
 """
@@ -21,30 +26,42 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+CONFIG = "configs/512res/ffhq_512_sdf_tpu.yaml"
+
+
+def _is_oom(e: Exception) -> bool:
+    msg = str(e)
+    return "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from sdface_gan_tpu.geometry import generate_camera_params
-    from sdface_gan_tpu.models.generator import (
-        GeneratorConfig,
-        generator_forward,
-        init_generator,
+    from sdface_gan_tpu.config import load_config
+    from sdface_gan_tpu.config.build import generator_config
+    from sdface_gan_tpu.config.sdf_options import (
+        get_vol_render_opt,
+        rendering_overrides,
+        resolve_renderer_type,
     )
-    from sdface_gan_tpu.models.renderer import RendererConfig
+    from sdface_gan_tpu.config.yaml_config import default_config_path
+    from sdface_gan_tpu.geometry import generate_camera_params
+    from sdface_gan_tpu.models.generator import generator_forward, init_generator
     from sdface_gan_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    cfg = GeneratorConfig(
-        size=512,
-        style_dim=256,
-        full_pipeline=True,
-        renderer=RendererConfig(
-            type="sdf", out_im_res=64, n_samples=24, style_dim=256, width=256, depth=8
-        ),
+    yml = load_config(CONFIG, default_config_path())
+    img_size = int(yml["data"]["img_size"])
+    opt = get_vol_render_opt(
+        yml["training"]["out_dir"].split("/")[1], False,
+        ngp=resolve_renderer_type(yml, False), size=img_size,
+        extra_argv=rendering_overrides(yml),
     )
+    cfg = generator_config(opt, stage_a=False)
+    assert cfg.size == 512, cfg.size
+
     params = init_generator(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -61,8 +78,9 @@ def main() -> None:
 
     jfn = jax.jit(chained)
     batches = [int(b) for b in sys.argv[1:]] or [4, 8, 16, 32]
+    render_res = cfg.renderer.out_im_res
     for batch in batches:
-        cams = generate_camera_params(64, jax.random.PRNGKey(1), batch=batch)
+        cams = generate_camera_params(render_res, jax.random.PRNGKey(1), batch=batch)
         z = jax.random.normal(jax.random.PRNGKey(2), (batch, cfg.style_dim))
         key = jax.random.PRNGKey(3)
         fb = jnp.zeros(())
@@ -94,7 +112,11 @@ def main() -> None:
                 ),
                 flush=True,
             )
-        except Exception as e:  # noqa: BLE001 — record the OOM, keep sweeping
+        except Exception as e:  # noqa: BLE001
+            if not _is_oom(e):
+                # A compile-helper timeout or backend error is NOT an HBM
+                # miss (ADVICE r4) — surface it instead of mislabeling.
+                raise
             msg = str(e).splitlines()[0][:200]
             print(
                 json.dumps(

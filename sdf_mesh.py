@@ -49,6 +49,7 @@ def main(argv=None) -> None:
     from sdface_gan_tpu.config.sdf_options import (
         get_vol_render_opt,
         rendering_overrides,
+        resolve_renderer_type,
     )
     from sdface_gan_tpu.config.yaml_config import default_config_path
     from sdface_gan_tpu.geometry import generate_camera_params
@@ -72,7 +73,7 @@ def main(argv=None) -> None:
     os.makedirs(render_dir, exist_ok=True)
     os.makedirs(mesh_dir, exist_ok=True)
 
-    opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
+    opt = get_vol_render_opt(expname, False, ngp=resolve_renderer_type(cfg, bool(args.ngp)), fc=bool(args.fc),
                              size=args.size,
                              extra_argv=rendering_overrides(cfg))
     # test-mode rendering overrides (reference sdf_mesh.py:211-214)

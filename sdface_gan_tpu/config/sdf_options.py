@@ -158,7 +158,40 @@ def parse_sdf_options(argv: Optional[Sequence[str]] = None) -> ConfigNode:
 # rendering: keys consumed by the GIRAFFE family / render.py rather than
 # parse_sdf_options; every config inherits them from configs/default.yaml,
 # so they are skipped (not errors) when flattening for the SDF stages.
-_NON_SDF_RENDERING_KEYS = frozenset({"render_program", "render_dir"})
+# ``type`` is handled by resolve_renderer_type (yaml-settable architecture
+# selection), not flattened into parse_sdf_options flags.
+_NON_SDF_RENDERING_KEYS = frozenset({"render_program", "render_dir", "type"})
+
+
+def resolve_renderer_type(cfg, ngp: bool) -> bool:
+    """Combine the CLI ``--ngp`` flag with an optional yaml ``rendering.type``.
+
+    The reference selects the hash-grid architecture only via ``--ngp 1``
+    (``training_utils.py:189``); the yaml cannot.  That produced a measured
+    footgun here (VERDICT r4): a config inheriting an NGP arm's grid knobs
+    trains/evals as SIREN unless the flag is remembered, and the knobs are
+    silently inert.  Configs may now pin ``rendering: type: sdf|ngp``:
+
+    * yaml ``type`` absent → the CLI flag decides (reference behavior);
+    * yaml ``type: ngp`` → NGP, with or without the flag;
+    * yaml ``type: sdf`` + ``--ngp 1`` → raise: the yaml says this config's
+      checkpoints are SIREN trees, so honoring the flag would produce a
+      param-tree mismatch (or a fresh run nobody intended).
+    """
+    yaml_type = (cfg.get("rendering") or {}).get("type")
+    if yaml_type is None:
+        return ngp
+    if yaml_type not in ("sdf", "ngp"):
+        raise ValueError(
+            f"rendering.type must be 'sdf' or 'ngp', got {yaml_type!r}"
+        )
+    if ngp and yaml_type == "sdf":
+        raise ValueError(
+            "--ngp 1 conflicts with the yaml's 'rendering: type: sdf' — "
+            "this config pins a SIREN architecture (its checkpoints are "
+            "SIREN param trees); drop the flag, or use an NGP config"
+        )
+    return yaml_type == "ngp"
 
 
 def rendering_overrides(cfg) -> list:

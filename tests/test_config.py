@@ -158,3 +158,45 @@ def test_select_like_names_missing_subtree(tmp_path):
         load_checkpoint(str(tmp_path), "models_0000001",
                         {"g": {"renderer": jnp.zeros((2,)),
                                "decoder": jnp.zeros((2,))}, "step": 0})
+
+
+def test_resolve_renderer_type_yaml_vs_flag():
+    """rendering.type is yaml-settable (VERDICT r4 / ADVICE r4: the --ngp
+    flag alone selected the architecture, so a config inheriting NGP grid
+    knobs silently trained SIREN — the accidental rerun).  Yaml 'ngp'
+    selects NGP without the flag; yaml 'sdf' + --ngp 1 raises instead of
+    producing a param-tree mismatch; absent yaml keeps reference
+    flag-driven behavior (training_utils.py:189)."""
+    from sdface_gan_tpu.config.sdf_options import (
+        rendering_overrides,
+        resolve_renderer_type,
+    )
+
+    assert resolve_renderer_type(ConfigNode(), False) is False
+    assert resolve_renderer_type(ConfigNode(), True) is True
+    ngp_cfg = ConfigNode(rendering={"type": "ngp", "num_levels": 4})
+    assert resolve_renderer_type(ngp_cfg, False) is True
+    assert resolve_renderer_type(ngp_cfg, True) is True
+    sdf_cfg = ConfigNode(rendering={"type": "sdf", "num_levels": 4})
+    assert resolve_renderer_type(sdf_cfg, False) is False
+    with pytest.raises(ValueError, match="type: sdf"):
+        resolve_renderer_type(sdf_cfg, True)
+    with pytest.raises(ValueError, match="rendering.type"):
+        resolve_renderer_type(ConfigNode(rendering={"type": "nerf"}), False)
+    # the type key is consumed here, not flattened into CLI flags
+    assert rendering_overrides(ngp_cfg) == ["--num_levels", "4"]
+
+
+def test_shipped_ngp_configs_pin_type():
+    """The TPU/synthetic NGP configs self-select the architecture; the
+    SIREN-checkpoint handle pins type sdf over its inherited NGP knobs."""
+    from sdface_gan_tpu.config import load_config
+    from sdface_gan_tpu.config.sdf_options import resolve_renderer_type
+
+    for f in ("configs/64res/synthetic_64_sdf_ngp_eik.yaml",
+              "configs/256res/ffhq_256_sdf_ngp_tpu.yaml"):
+        assert resolve_renderer_type(load_config(f), False) is True
+    fresh = load_config("configs/64res/synthetic_64_sdf_eik_fresh.yaml")
+    assert resolve_renderer_type(fresh, False) is False
+    with pytest.raises(ValueError):
+        resolve_renderer_type(fresh, True)

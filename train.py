@@ -77,6 +77,7 @@ def train_sdf(args, cfg) -> None:
     from sdface_gan_tpu.config.sdf_options import (
         get_vol_render_opt,
         rendering_overrides,
+        resolve_renderer_type,
     )
     from sdface_gan_tpu.data import (
         DataLoader,
@@ -105,7 +106,7 @@ def train_sdf(args, cfg) -> None:
     img_size = cfg["data"].get("img_size", 256)
 
     if need_a:
-        opt = get_vol_render_opt(expname, True, ngp=bool(args.ngp), fc=bool(args.fc),
+        opt = get_vol_render_opt(expname, True, ngp=resolve_renderer_type(cfg, bool(args.ngp)), fc=bool(args.fc),
                                  wod=bool(args.wod), size=img_size, batch=args.batch,
                                  extra_argv=rendering_overrides(cfg))
         gcfg = generator_config(opt, stage_a=True)
@@ -129,7 +130,7 @@ def train_sdf(args, cfg) -> None:
             ds.close()
 
     if need_b:
-        opt = get_vol_render_opt(expname, False, ngp=bool(args.ngp), fc=bool(args.fc),
+        opt = get_vol_render_opt(expname, False, ngp=resolve_renderer_type(cfg, bool(args.ngp)), fc=bool(args.fc),
                                  wod=bool(args.wod), size=img_size, batch=args.batch,
                                  extra_argv=rendering_overrides(cfg))
         gcfg = generator_config(opt, stage_a=False)
