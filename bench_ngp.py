@@ -156,6 +156,8 @@ def bench_ngp_serving(batch: int = 8) -> None:
     )
     from sdface_gan_tpu.models.renderer import RendererConfig
 
+    from sdface_gan_tpu.models.generator import pack_generator_for_inference
+
     grids = {
         "reference 16xdim2 T=2^19 finest4096": dict(
             ngp_num_levels=16, ngp_level_dim=2, ngp_finest_res=4096,
@@ -163,6 +165,11 @@ def bench_ngp_serving(batch: int = 8) -> None:
         "tuned 4xdim8 T=2^15 finest256": dict(
             ngp_num_levels=4, ngp_level_dim=8, ngp_finest_res=256,
             ngp_log2_hashmap_size=15),
+        # the production serving arm: tuned grid + corner-packed tables at
+        # the measured-optimal 64 MB budget (scripts/bench_packed_gather.py)
+        "tuned 4xdim8 + packed 64MB": dict(
+            ngp_num_levels=4, ngp_level_dim=8, ngp_finest_res=256,
+            ngp_log2_hashmap_size=15, ngp_pack_mb=64),
     }
     for name, grid in grids.items():
         gcfg = GeneratorConfig(
@@ -177,6 +184,7 @@ def bench_ngp_serving(batch: int = 8) -> None:
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params,
         )
+        params = pack_generator_for_inference(params, gcfg)
         z = jax.random.normal(kz, (batch, gcfg.style_dim))
         cams = generate_camera_params(gcfg.renderer.out_im_res, kc, batch=batch)
 

@@ -95,6 +95,12 @@ def main(argv=None) -> None:
             g_ema,
         )
 
+    # NGP + yaml `rendering: pack_mb`: corner-packed inference tables
+    # (one-time repack at load; docs/PERFORMANCE.md)
+    from sdface_gan_tpu.models.generator import pack_generator_for_inference
+
+    g_ema = pack_generator_for_inference(g_ema, gcfg)
+
     # Resolve the real-stats source up front: with --no_dump and no FID
     # source the whole generation pass would produce nothing (no PNGs, no
     # score) — fail before spending the compute, not after.

@@ -45,6 +45,7 @@ def renderer_config(opt: ConfigNode, stage_a: bool) -> RendererConfig:
         ngp_level_dim=r.get("level_dim", 2),
         ngp_finest_res=r.get("finest_res", 4096),
         ngp_log2_hashmap_size=r.get("log2_hashmap_size", 19),
+        ngp_pack_mb=r.get("pack_mb", 0),
     )
 
 

@@ -127,6 +127,10 @@ def sdf_defaults() -> ConfigNode:
             level_dim=2,
             finest_res=4096,
             log2_hashmap_size=19,
+            # corner-packed NGP inference tables, MB budget (0 = off;
+            # 64 = measured optimum, scripts/bench_packed_gather.py) —
+            # serving/eval only, training ignores it
+            pack_mb=0,
         ),
     )
 

@@ -89,6 +89,23 @@ def init_generator(key: jax.Array, cfg: GeneratorConfig) -> Params:
     return params
 
 
+def pack_generator_for_inference(params: Params, cfg: GeneratorConfig) -> Params:
+    """One-time load-time repack for NGP serving: add the corner-packed
+    hash table (``ops/hash_encoder.py PackPlan``) to the renderer network
+    when ``cfg.renderer.ngp_pack_mb`` > 0.  No-op for SIREN/FC or when the
+    knob is off; never used in training (checkpoints don't carry the
+    packed entry, and the loops never add it)."""
+    if cfg.renderer.type != "ngp" or cfg.renderer.ngp_pack_mb <= 0:
+        return params
+    from .siren import pack_ngp_network_params
+
+    renderer = dict(params["renderer"])
+    renderer["network"] = pack_ngp_network_params(
+        renderer["network"], cfg.renderer.network_config()
+    )
+    return dict(params, renderer=renderer)
+
+
 def map_style(params: Params, z: jnp.ndarray) -> jnp.ndarray:
     """3-layer renderer mapping (reference ``sdf_model.py:1076-1097``)."""
     h = z

@@ -90,6 +90,12 @@ class RendererConfig:
     ngp_level_dim: int = 2
     ngp_finest_res: int = 4096
     ngp_log2_hashmap_size: int = 19
+    # Corner-packed inference tables, MB budget (0 = off).  Serving-side
+    # only: the encode uses the packed table when the loaded params carry
+    # one (pack_generator_for_inference); training never packs.  64 is the
+    # measured-optimal budget on the tuned grid
+    # (scripts/bench_packed_gather.py: 1.49x the encode; bigger loses).
+    ngp_pack_mb: int = 0
     # Background model.  'lastsample' (reference semantics): the final
     # depth sample gets an infinite-width bin (sdf_model.py:240 `self.inf`),
     # so it absorbs all leftover visibility — an implicit learnable
@@ -139,6 +145,7 @@ class RendererConfig:
                     desired_resolution=self.ngp_finest_res,
                     log2_hashmap_size=self.ngp_log2_hashmap_size,
                 ),
+                pack_mb=self.ngp_pack_mb,
             )
         if self.type == "fc":
             return FCConfig(

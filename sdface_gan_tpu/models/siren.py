@@ -181,10 +181,26 @@ class NGPSirenConfig:
     sh_degree: int = 4
     output_features: bool = True
     grid: HashGridSpec = HashGridSpec.create(desired_resolution=4096)
+    # Corner-packed inference tables (ops/hash_encoder.py PackPlan): levels
+    # whose packed form fits this budget gather ONE [2^D*C]-wide row per
+    # point instead of 2^D C-wide rows.  Measured 1.49x on the tuned-grid
+    # encode at 64 MB (scripts/bench_packed_gather.py); larger budgets pack
+    # more levels but LOSE (26.75 -> 31.5 -> 39.2 ms at 64/512/4096 MB).
+    # 0 = off.  Inference-only: packing happens via pack_ngp_network_params
+    # at load time; training params never carry the packed entry.
+    pack_mb: int = 0
 
     @property
     def out_dim(self) -> int:
         return 4 + (self.width if self.output_features else 0)
+
+    @property
+    def pack_plan(self):
+        if self.pack_mb <= 0:
+            return None
+        from ..ops.hash_encoder import plan_packing
+
+        return plan_packing(self.grid, max_bytes=self.pack_mb << 20, bytes_per_el=2)
 
 
 def init_ngp_siren_generator(key: jax.Array, cfg: NGPSirenConfig) -> Params:
@@ -215,7 +231,15 @@ def apply_ngp_siren_generator_parts(
 ):
     """Hash-encode points, SH-encode dirs, run the short SIREN stack
     (reference ``sdf_model.py:1566-1592``).  Returns (rgb, sdf, feat|None)."""
-    enc = hash_encode(pts, p["hash_table"], cfg.grid, bound=cfg.bound)
+    if cfg.pack_mb > 0 and "hash_table_packed" in p:
+        from ..ops.hash_encoder import hash_encode_packed
+
+        enc = hash_encode_packed(
+            pts, p["hash_table"], p["hash_table_packed"], cfg.pack_plan,
+            bound=cfg.bound,
+        )
+    else:
+        enc = hash_encode(pts, p["hash_table"], cfg.grid, bound=cfg.bound)
     dirs = sh_encode(views, degree=cfg.sh_degree)
     h = apply_linear(p["input_linear"], enc.astype(pts.dtype))
     for layer in p["pts_linears"]:
@@ -246,6 +270,27 @@ def apply_ngp_siren_generator(
     if feat is not None:
         out = jnp.concatenate([out, feat], -1)
     return out
+
+
+def pack_ngp_network_params(
+    p: Params, cfg: NGPSirenConfig, dtype=None
+) -> Params:
+    """Add the corner-packed inference table to an NGP network param tree
+    (one-time host-side repack; see :class:`ops.hash_encoder.PackPlan`).
+    No-op when ``cfg.pack_mb`` is 0 or the entry already exists.  ``dtype``
+    defaults to the standard table's dtype (bf16 on the serving path)."""
+    plan = cfg.pack_plan
+    if plan is None or "hash_table_packed" in p:
+        return p
+    from ..ops.hash_encoder import pack_hash_table
+
+    table = p["hash_table"]
+    return dict(
+        p,
+        hash_table_packed=pack_hash_table(
+            table, plan, dtype=dtype if dtype is not None else table.dtype
+        ),
+    )
 
 
 def ngp_query_embedding(

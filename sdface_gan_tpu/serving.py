@@ -54,6 +54,12 @@ class SDFaceSampler:
         # tiles; the kernel serializes them (see README Performance).
         if use_fused_kernel and cfg.renderer.type == "sdf":
             cfg = replace(cfg, renderer=replace(cfg.renderer, use_fused_kernel=True))
+        # NGP: corner-packed inference tables (renderer.ngp_pack_mb > 0) —
+        # one-time host-side repack, measured 1.55x serving end-to-end at
+        # the 64 MB budget (docs/PERFORMANCE.md, scripts/bench_packed_gather.py).
+        from .models.generator import pack_generator_for_inference
+
+        params = pack_generator_for_inference(params, cfg)
         self.cfg = cfg
         self.batch = batch
         self.truncation = truncation

@@ -515,6 +515,45 @@ def test_ngp_generator_forward():
     assert bool(jnp.all(jnp.isfinite(out.thumb_rgb)))
 
 
+def test_ngp_packed_inference_parity():
+    """The corner-packed serving path (renderer.ngp_pack_mb +
+    pack_generator_for_inference) must produce the generator output of the
+    standard 8-gather encode exactly: the packed table is a pure repack
+    (ops/hash_encoder.py PackPlan), f32-packed here to isolate layout from
+    dtype."""
+    from sdface_gan_tpu.models.generator import pack_generator_for_inference
+
+    base = dict(type="ngp", out_im_res=8, n_samples=4, style_dim=32,
+                width=32, ngp_num_levels=3, ngp_level_dim=2,
+                ngp_finest_res=64, ngp_log2_hashmap_size=8)
+    cfg = GeneratorConfig(
+        size=16, style_dim=32, full_pipeline=False,
+        renderer=RendererConfig(**base),
+    )
+    cfg_packed = GeneratorConfig(
+        size=16, style_dim=32, full_pipeline=False,
+        renderer=RendererConfig(**base, ngp_pack_mb=64),
+    )
+    p = init_generator(KEY, cfg)
+    assert cfg_packed.renderer.network_config().pack_plan.packed_levels
+    pp = pack_generator_for_inference(p, cfg_packed)
+    assert "hash_table_packed" in pp["renderer"]["network"]
+    # no-op paths: knob off, or already packed
+    assert pack_generator_for_inference(p, cfg) is p
+    assert pack_generator_for_inference(pp, cfg_packed)["renderer"][
+        "network"] is pp["renderer"]["network"]
+
+    cams = generate_camera_params(8, jax.random.PRNGKey(1), batch=2)
+    z = jax.random.normal(KEY, (2, 32))
+    args = (cams.extrinsics, cams.focal, cams.near, cams.far)
+    ref = generator_forward(p, cfg, [z], *args, key=jax.random.PRNGKey(2))
+    got = generator_forward(pp, cfg_packed, [z], *args,
+                            key=jax.random.PRNGKey(2))
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(ref.thumb_rgb),
+                                  np.asarray(got.thumb_rgb))
+
+
 def test_fc_generator_forward():
     cfg = GeneratorConfig(
         size=16, style_dim=16, full_pipeline=False,
