@@ -102,6 +102,13 @@ def main(argv=None) -> None:
     g_ema = ck["g_ema"]
     surf_params = copy_matching(init_generator(jax.random.PRNGKey(0), surf_cfg), g_ema)
 
+    # NGP + yaml `rendering: pack_mb`: corner-packed inference tables for
+    # both the view sweep and the surface probe (docs/PERFORMANCE.md)
+    from sdface_gan_tpu.models.generator import pack_generator_for_inference
+
+    g_ema = pack_generator_for_inference(g_ema, gcfg)
+    surf_params = pack_generator_for_inference(surf_params, surf_cfg)
+
     # Mesh over every device that divides BOTH the 8-view sweep batch and
     # the probe's ray rows (surface_res % n == 0); a v5e-8 renders each
     # view / each 16-row band on its own chip, one chip degenerates to jit.
