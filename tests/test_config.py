@@ -200,3 +200,26 @@ def test_shipped_ngp_configs_pin_type():
     assert resolve_renderer_type(fresh, False) is False
     with pytest.raises(ValueError):
         resolve_renderer_type(fresh, True)
+
+
+def test_compile_cache_host_keyed(tmp_path, monkeypatch):
+    """host_keyed=True isolates cache dirs by CPU-feature hash (VERDICT r4
+    weak #4: foreign AOT code from a different host can SIGILL; a
+    mismatched host must fall back to a cold compile in its own subdir)."""
+    import jax
+
+    from sdface_gan_tpu.utils import compile_cache as cc
+
+    tag = cc.host_cpu_feature_tag()
+    assert tag and len(tag) in (12, len("nocpuinfo"))
+    assert tag == cc.host_cpu_feature_tag()  # stable within a host
+
+    base = tmp_path / "cache"
+    cc.enable_compilation_cache(str(base), host_keyed=True)
+    try:
+        assert (base / tag).is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(base / tag)
+        cc.enable_compilation_cache(str(base))  # unkeyed: the root dir
+        assert jax.config.jax_compilation_cache_dir == str(base)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
